@@ -1,0 +1,130 @@
+"""Typed configuration tree for raindrop_tpu.
+
+The reference scatters its configuration across argparse flags
+(reference: code/Raindrop.py:61-70), per-dataset if/elif blocks
+(code/Raindrop.py:109-148) and buried boolean literals
+(`sensor_wise_mask` code/Raindrop.py:103, `use_beta` code/models_rd.py:317).
+Here every knob is an explicit dataclass field, serialized with checkpoints.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass(frozen=True)
+class RaindropConfig:
+    """Model hyperparameters for the Raindrop (v2) sensor-graph classifier.
+
+    Dimensioning mirrors reference code/Raindrop.py:109-148:
+      d_model = d_inp * d_ob, nhid = 2*d_model, nlayers=2, nhead=2, dropout=0.2.
+    """
+
+    d_inp: int = 36              # number of sensors F
+    d_static: int = 9            # static feature dim (0 => no static path)
+    max_len: int = 215           # padded sequence length T
+    n_classes: int = 2
+    d_ob: int = 4                # per-sensor observation embedding dim
+    d_pe: int = 16               # time positional-encoding dim
+    nhead: int = 2               # temporal transformer heads
+    nlayers: int = 2             # temporal transformer layers
+    nhid: Optional[int] = None   # transformer FFN dim; default 2*d_model
+    dropout: float = 0.2
+    MAX: int = 100               # PE MAX parameter (kept for API parity)
+    aggreg: str = "mean"
+    sensor_wise_mask: bool = False
+    use_beta: bool = False       # time-conditioned edge attention + top-50% pruning
+    static: bool = True          # static-feature pathway on/off
+    prop_dropout: float = 0.0    # attention dropout inside graph propagation
+                                 # (reference leaves Observation_progation at
+                                 # its default dropout=0., code/models_rd.py:243)
+    init_range: float = 1e-10    # reference code/models_rd.py:272 encoder/emb init
+    dtype: str = "float32"       # compute dtype of the model forward
+
+    @property
+    def d_model(self) -> int:
+        return self.d_inp * self.d_ob
+
+    @property
+    def ffn_dim(self) -> int:
+        return self.nhid if self.nhid is not None else 2 * self.d_model
+
+    @property
+    def d_transformer(self) -> int:
+        """Width of the temporal transformer (reference code/models_rd.py:232-235)."""
+        if self.sensor_wise_mask:
+            return self.d_inp * (self.d_ob + self.d_pe)
+        return self.d_model + self.d_pe
+
+    @property
+    def d_final(self) -> int:
+        """Classifier-head width (reference code/models_rd.py:249-252).
+
+        Deviation: with sensor_wise_mask=True the pooled embedding is
+        d_inp*(d_ob+d_pe) wide (code/models_rd.py:368-376) but the reference
+        still sizes mlp_static at d_model+d_pe(+d_inp) — a latent crash on a
+        path its shipped driver never exercises (sensor_wise_mask=False at
+        code/Raindrop.py:103). We size the head to the actual pooled width so
+        the capability works.
+        """
+        base = (self.d_inp * (self.d_ob + self.d_pe)
+                if self.sensor_wise_mask else self.d_model + self.d_pe)
+        return base + (self.d_inp if self.static else 0)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "RaindropConfig":
+        return RaindropConfig(**json.loads(s))
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training/experiment protocol (reference code/Raindrop.py:105-160, 255-307)."""
+
+    dataset: str = "P12"
+    num_epochs: int = 20
+    learning_rate: float = 1e-4
+    batch_size: int = 128
+    n_splits: int = 5
+    n_runs: int = 1
+    # class-balance strategy: 2 = half/half with 3x-expanded positives (binary),
+    # 3 = uniform random batches (multiclass). reference code/Raindrop.py:264-307
+    batching_strategy: int = 2
+    n_batches_strategy3: int = 30
+    # ReduceLROnPlateau on val AUPRC (reference code/Raindrop.py:257-259)
+    plateau_factor: float = 0.1
+    plateau_patience: int = 1
+    plateau_threshold: float = 1e-4
+    plateau_min_lr: float = 1e-8
+    # Settings machinery (reference code/Raindrop.py:62-70, 215-231)
+    split_type: str = "random"            # 'random' | 'age' | 'gender'
+    reverse: bool = False
+    feature_removal_level: str = "no_removal"  # 'no_removal' | 'set' | 'sample'
+    missing_ratio: float = 0.0
+    predictive_label: str = "mortality"   # 'mortality' | 'LoS' (P12 only)
+    seed: int = 1
+    checkpoint_dir: str = "checkpoints"
+    log_path: Optional[str] = None        # JSONL log file
+
+
+# Per-dataset presets, reference code/Raindrop.py:109-148.
+DATASETS = {
+    "P12": dict(d_inp=36, d_static=9, max_len=215, n_classes=2, static=True),
+    "P19": dict(d_inp=34, d_static=6, max_len=60, n_classes=2, static=True),
+    "eICU": dict(d_inp=14, d_static=399, max_len=300, n_classes=2, static=True),
+    "PAM": dict(d_inp=17, d_static=0, max_len=600, n_classes=8, static=False),
+}
+
+
+def dataset_config(name: str, **overrides) -> RaindropConfig:
+    """Build the published per-dataset model config (code/Raindrop.py:109-148)."""
+    if name not in DATASETS:
+        raise ValueError(f"unknown dataset {name!r}; options: {sorted(DATASETS)}")
+    kw = dict(DATASETS[name])
+    kw.update(overrides)
+    return RaindropConfig(**kw)

@@ -1,0 +1,118 @@
+"""Temporal transformer encoder with torch.nn.TransformerEncoder parity.
+
+Re-implements the reference's temporal aggregator
+(nn.TransformerEncoder(TransformerEncoderLayer(d, nhead, nhid, dropout)),
+reference code/models_rd.py:232-237, applied at :358) as pure-jnp batched
+attention over the MXU:
+
+  * post-LN ("norm_first=False") layer: attn -> add -> LN -> FFN(relu) -> add -> LN
+  * combined qkv in_proj ([3d, d]) with xavier-uniform init, zero in_proj bias,
+    zero out_proj bias — the torch MultiheadAttention defaults, so parity tests
+    can port state_dicts 1:1.
+  * key_padding_mask semantics: True marks a padded timestep; padded keys get
+    -inf logits before softmax.
+
+Internal layout is [B, T, d] (batch-major, TPU-friendly); the model transposes
+once at the boundary from the reference's time-major [T, B, d].
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from raindrop_tpu.nn.init import torch_linear_params, xavier_uniform
+from raindrop_tpu.nn.linear import linear_apply
+from raindrop_tpu.utils.dropout import dropout as _dropout
+
+
+def _layer_init(key, d_model: int, ffn_dim: int, dtype=jnp.float32):
+    k = jax.random.split(key, 5)
+    out_proj = torch_linear_params(k[1], d_model, d_model, dtype)
+    out_proj["b"] = jnp.zeros((d_model,), dtype)  # MHA._reset_parameters zeroes it
+    return {
+        "in_proj_w": xavier_uniform(k[0], (3 * d_model, d_model), dtype),
+        "in_proj_b": jnp.zeros((3 * d_model,), dtype),
+        "out_proj": out_proj,
+        "lin1": torch_linear_params(k[2], d_model, ffn_dim, dtype),
+        "lin2": torch_linear_params(k[3], ffn_dim, d_model, dtype),
+        "ln1": {"scale": jnp.ones((d_model,), dtype), "bias": jnp.zeros((d_model,), dtype)},
+        "ln2": {"scale": jnp.ones((d_model,), dtype), "bias": jnp.zeros((d_model,), dtype)},
+    }
+
+
+def transformer_encoder_init(key, d_model: int, nhead: int, ffn_dim: int,
+                             num_layers: int, dtype=jnp.float32):
+    if d_model % nhead:
+        raise ValueError(f"d_model={d_model} not divisible by nhead={nhead}")
+    keys = jax.random.split(key, num_layers)
+    return {f"layer{i}": _layer_init(k, d_model, ffn_dim, dtype)
+            for i, k in enumerate(keys)}
+
+
+def _layer_norm(p, x, eps=1e-5):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def multihead_self_attention(
+    p,
+    x: jnp.ndarray,                 # [B, T, d]
+    key_padding_mask: Optional[jnp.ndarray],  # [B, T] True = padded
+    nhead: int,
+    dropout_rate: float = 0.0,
+    rng=None,
+    train: bool = False,
+) -> jnp.ndarray:
+    B, T, d = x.shape
+    hd = d // nhead
+    qkv = x @ p["in_proj_w"].T + p["in_proj_b"]          # [B, T, 3d]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):  # [B, T, d] -> [B, nhead, T, hd]
+        return t.reshape(B, T, nhead, hd).transpose(0, 2, 1, 3)
+
+    q, k, v = heads(q) * (hd ** -0.5), heads(k), heads(v)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+    if key_padding_mask is not None:
+        logits = jnp.where(key_padding_mask[:, None, None, :], -jnp.inf, logits)
+    attn = jax.nn.softmax(logits, axis=-1)
+    if key_padding_mask is not None:
+        # A fully-padded sample (lengths==0) softmaxes over all -inf -> NaN in
+        # torch; emit zeros instead so one degenerate sample cannot poison the
+        # whole batch's gradients. Identical to torch for lengths >= 1.
+        all_pad = jnp.all(key_padding_mask, axis=-1)[:, None, None, None]
+        attn = jnp.where(all_pad, 0.0, attn)
+    if train and dropout_rate > 0.0:
+        attn = _dropout(rng, attn, dropout_rate)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+    out = out.transpose(0, 2, 1, 3).reshape(B, T, d)
+    return linear_apply(p["out_proj"], out)
+
+
+def transformer_encoder_apply(
+    params,
+    x: jnp.ndarray,                # [B, T, d]
+    key_padding_mask: Optional[jnp.ndarray],  # [B, T] True = padded
+    nhead: int,
+    dropout_rate: float = 0.0,
+    rng=None,
+    train: bool = False,
+) -> jnp.ndarray:
+    num_layers = len(params)
+    rngs = (jax.random.split(rng, 4 * num_layers)
+            if (train and rng is not None) else [None] * (4 * num_layers))
+    for i in range(num_layers):
+        p = params[f"layer{i}"]
+        r = rngs[4 * i: 4 * i + 4]
+        attn = multihead_self_attention(
+            p, x, key_padding_mask, nhead, dropout_rate, r[0], train)
+        x = _layer_norm(p["ln1"], x + _dropout(r[1], attn, dropout_rate, train))
+        h = jax.nn.relu(linear_apply(p["lin1"], x))
+        h = _dropout(r[2], h, dropout_rate, train)
+        h = linear_apply(p["lin2"], h)
+        x = _layer_norm(p["ln2"], x + _dropout(r[3], h, dropout_rate, train))
+    return x

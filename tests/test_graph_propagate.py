@@ -1,0 +1,141 @@
+"""Graph propagation layer: COO vs torch oracle, dense vs COO equivalence,
+layer-1 -> layer-2 handoff semantics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from raindrop_tpu.graph.propagate import (
+    ob_propagation_init,
+    ob_propagate_coo,
+    ob_propagate_dense_complete,
+    alpha_pairwise_distance,
+)
+from raindrop_tpu.graph.structure import complete_graph_edges, edges_from_adjacency
+
+
+def _np_params(params):
+    return jax.tree_util.tree_map(np.asarray, params)
+
+
+def make_layer(n_nodes=6, T=10, d_ob=4, seed=0):
+    in_ch = T * d_ob
+    params = ob_propagation_init(jax.random.PRNGKey(seed), in_ch, in_ch, n_nodes, d_ob)
+    return params, in_ch
+
+
+def test_coo_matches_torch_oracle_no_beta(rng_np):
+    torch = pytest.importorskip("torch")
+    from tests.torch_oracle import ob_propagate_torch
+
+    n, T, d_ob = 6, 10, 4
+    params, in_ch = make_layer(n, T, d_ob)
+    x = rng_np.normal(size=(n, in_ch)).astype(np.float32)
+    p_t = rng_np.normal(size=(T, 16)).astype(np.float32)
+    edge_index, _ = complete_graph_edges(n)
+    w = rng_np.uniform(0.5, 2.0, size=edge_index.shape[1]).astype(np.float32)
+
+    out, (ei, alpha) = ob_propagate_coo(
+        params, jnp.asarray(x), jnp.asarray(p_t),
+        jnp.asarray(edge_index), jnp.asarray(w), use_beta=False, ob_dim=d_ob)
+
+    expect, (_, alpha_t) = ob_propagate_torch(
+        _np_params(params), torch.tensor(x), torch.tensor(p_t),
+        torch.tensor(edge_index.astype(np.int64)), torch.tensor(w),
+        use_beta=False, ob_dim=d_ob)
+    np.testing.assert_allclose(np.asarray(out), expect.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(alpha), alpha_t.numpy(), rtol=1e-6)
+
+
+def test_coo_matches_torch_oracle_beta(rng_np):
+    torch = pytest.importorskip("torch")
+    from tests.torch_oracle import ob_propagate_torch
+
+    n, T, d_ob = 6, 10, 4
+    params, in_ch = make_layer(n, T, d_ob, seed=3)
+    x = rng_np.normal(size=(n, in_ch)).astype(np.float32)
+    p_t = rng_np.normal(size=(T, 16)).astype(np.float32)
+    edge_index, _ = complete_graph_edges(n)
+    w = rng_np.uniform(0.5, 2.0, size=edge_index.shape[1]).astype(np.float32)
+
+    out, (ei, alpha) = ob_propagate_coo(
+        params, jnp.asarray(x), jnp.asarray(p_t),
+        jnp.asarray(edge_index), jnp.asarray(w), use_beta=True, ob_dim=d_ob)
+
+    expect, (ei_t, alpha_t) = ob_propagate_torch(
+        _np_params(params), torch.tensor(x), torch.tensor(p_t),
+        torch.tensor(edge_index.astype(np.int64)), torch.tensor(w),
+        use_beta=True, ob_dim=d_ob)
+    assert ei.shape == (2, edge_index.shape[1] // 2)
+    np.testing.assert_array_equal(np.asarray(ei), ei_t.numpy())
+    np.testing.assert_allclose(np.asarray(alpha), alpha_t.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out), expect.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_dense_equals_coo_complete_graph(rng_np):
+    n, T, d_ob, B = 5, 8, 4, 3
+    params, in_ch = make_layer(n, T, d_ob, seed=1)
+    x = rng_np.normal(size=(B, n, in_ch)).astype(np.float32)
+    adj = rng_np.uniform(0.5, 2.0, size=(n, n)).astype(np.float32)
+    edge_index, _ = complete_graph_edges(n)
+    w = adj[edge_index[0], edge_index[1]]
+
+    out_d, alpha_d = ob_propagate_dense_complete(params, jnp.asarray(x), jnp.asarray(adj))
+
+    p_t = jnp.zeros((T, 16))
+    for b in range(B):
+        out_c, (_, alpha_c) = ob_propagate_coo(
+            params, jnp.asarray(x[b]), p_t,
+            jnp.asarray(edge_index), jnp.asarray(w), use_beta=False, ob_dim=d_ob)
+        np.testing.assert_allclose(np.asarray(out_d[b]), np.asarray(out_c),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(alpha_d[b]), np.asarray(alpha_c)[:, 0],
+                                   rtol=1e-6)
+
+
+def test_uniform_attention_degenerates_to_pointwise(rng_np):
+    """With all-ones weights on a complete graph and no dropout, the layer is
+    out[v] = relu(lin_value(x[v])) (see quirk analysis of
+    code/Ob_propagation.py:187,195-210)."""
+    n, T, d_ob = 4, 6, 4
+    params, in_ch = make_layer(n, T, d_ob, seed=2)
+    x = rng_np.normal(size=(1, n, in_ch)).astype(np.float32)
+    out, _ = ob_propagate_dense_complete(params, jnp.asarray(x), jnp.ones((n, n)))
+    expect = jax.nn.relu(jnp.asarray(x[0]) @ params["lin_value"]["w"].T
+                         + params["lin_value"]["b"])
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(expect), rtol=1e-5, atol=1e-6)
+
+
+def test_edges_from_adjacency_forces_self_loops():
+    adj = np.zeros((3, 3), np.float32)
+    adj[0, 1] = 2.0
+    ei, w = edges_from_adjacency(adj)
+    pairs = set(map(tuple, ei.T.tolist()))
+    assert {(0, 0), (1, 1), (2, 2), (0, 1)} == pairs
+    assert w[np.all(ei == [[0], [1]], axis=0)][0] == 2.0
+
+
+def test_alpha_pairwise_distance():
+    a = jnp.array([[0.0, 0.0], [3.0, 4.0]])
+    # pairs: (0,0)=0 (0,1)=5 (1,0)=5 (1,1)=0 -> mean 2.5
+    assert float(alpha_pairwise_distance(a)) == pytest.approx(2.5)
+
+
+def test_coo_jit_and_grad(rng_np):
+    n, T, d_ob = 5, 8, 4
+    params, in_ch = make_layer(n, T, d_ob, seed=4)
+    x = jnp.asarray(rng_np.normal(size=(n, in_ch)).astype(np.float32))
+    p_t = jnp.asarray(rng_np.normal(size=(T, 16)).astype(np.float32))
+    edge_index, w = complete_graph_edges(n)
+
+    @jax.jit
+    def loss(params, x):
+        out, _ = ob_propagate_coo(
+            params, x, p_t, jnp.asarray(edge_index), jnp.asarray(w),
+            use_beta=True, ob_dim=d_ob)
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(params, x)
+    assert np.isfinite(float(loss(params, x)))
+    assert np.all(np.isfinite(np.asarray(g["lin_value"]["w"])))
