@@ -1,0 +1,6 @@
+from raindrop_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    replicated,
+    shard_batch_spec,
+    shard_batch,
+)

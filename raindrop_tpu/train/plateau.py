@@ -1,0 +1,57 @@
+"""ReduceLROnPlateau with torch semantics.
+
+The reference steps torch.optim.lr_scheduler.ReduceLROnPlateau(mode='max',
+factor=0.1, patience=1, threshold=1e-4 rel, cooldown=0, min_lr=1e-8) on the
+per-epoch validation AUPRC (reference code/Raindrop.py:257-259,368). optax
+has no plateau scheduler, so the state machine lives here (host-side) and
+the current LR is fed to the optimizer by injection.
+
+torch semantics reproduced: 'rel' threshold in max mode means an epoch is an
+improvement iff metric > best * (1 + threshold); LR drops by `factor` after
+`patience` consecutive non-improving epochs, floored at min_lr.
+"""
+
+from __future__ import annotations
+
+
+class ReduceLROnPlateau:
+    def __init__(self, lr: float, mode: str = "max", factor: float = 0.1,
+                 patience: int = 1, threshold: float = 1e-4,
+                 min_lr: float = 1e-8):
+        if mode not in ("max", "min"):
+            raise ValueError(f"mode must be 'max' or 'min', got {mode!r}")
+        self.lr = float(lr)
+        self.mode = mode
+        self.factor = factor
+        self.patience = patience
+        self.threshold = threshold
+        self.min_lr = min_lr
+        self.best = float("-inf") if mode == "max" else float("inf")
+        self.num_bad_epochs = 0
+
+    def _is_better(self, metric: float) -> bool:
+        if self.mode == "max":
+            bound = self.best * (1.0 + self.threshold) if self.best >= 0 \
+                else self.best * (1.0 - self.threshold)
+            return metric > bound
+        bound = self.best * (1.0 - self.threshold) if self.best >= 0 \
+            else self.best * (1.0 + self.threshold)
+        return metric < bound
+
+    def step(self, metric: float) -> float:
+        """Record one epoch's metric; returns the (possibly reduced) LR."""
+        if self._is_better(metric):
+            self.best = metric
+            self.num_bad_epochs = 0
+        else:
+            self.num_bad_epochs += 1
+        if self.num_bad_epochs > self.patience:
+            self.lr = max(self.lr * self.factor, self.min_lr)
+            self.num_bad_epochs = 0
+        return self.lr
+
+    def state_dict(self):
+        return dict(lr=self.lr, best=self.best, num_bad_epochs=self.num_bad_epochs)
+
+    def load_state_dict(self, s):
+        self.lr, self.best, self.num_bad_epochs = s["lr"], s["best"], s["num_bad_epochs"]

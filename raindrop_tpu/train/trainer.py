@@ -1,0 +1,287 @@
+"""Training driver: the reference's experiment protocol, jit-compiled.
+
+Reproduces reference code/Raindrop.py's protocol exactly (SURVEY.md §3.1):
+Adam + CrossEntropy, class-balanced batches, per-epoch validation with
+ReduceLROnPlateau stepped on val AUPRC, best checkpoint keyed on val AUROC,
+test metrics from the softmax path, 5-split mean±std with best-run-per-split
+selected by AUPRC.
+
+TPU-first differences from the reference driver:
+  * one jit-compiled train step (forward+backward+Adam) with donated
+    params/opt-state — no per-batch H2D sync of the whole split
+    (the reference re-.cuda()s every slice, code/Raindrop.py:310-315);
+  * static batch shapes: eval pads the ragged tail chunk instead of
+    recompiling (the reference's tail chunk also reuses a stale static
+    slice — code/utils_rd.py:303 — a bug we do NOT reproduce);
+  * optional data-parallel mesh: batches sharded over the 'data' axis via
+    NamedSharding; gradients are averaged by XLA psum under jit.
+  * throughput counters (samples/s, edges/s) and JSONL structured logs
+    (the reference logs with print, SURVEY.md §5.5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from raindrop_tpu.config import RaindropConfig, TrainConfig
+from raindrop_tpu.data.datasets import Split
+from raindrop_tpu.data.sampler import balanced_batches, n_batches_per_epoch
+from raindrop_tpu.models.raindrop import raindrop_apply, raindrop_init
+from raindrop_tpu.train.checkpoint import save_checkpoint
+from raindrop_tpu.train.metrics import classification_metrics
+from raindrop_tpu.train.plateau import ReduceLROnPlateau
+
+
+@dataclasses.dataclass
+class TrainResult:
+    test_metrics: Dict[str, float]
+    best_val_auroc: float
+    best_val_auprc: float
+    history: List[Dict[str, Any]]
+    samples_per_sec: float
+    params: Any = None
+
+
+class Trainer:
+    """One (model config, train config) pair; reusable across splits."""
+
+    def __init__(self, cfg: RaindropConfig, tcfg: TrainConfig, *,
+                 mesh=None, apply_fn=None, init_fn=None):
+        self.cfg = cfg
+        self.tcfg = tcfg
+        self.mesh = mesh
+        # pluggable model (baselines reuse this trainer with their own fns)
+        self._apply = apply_fn or (
+            lambda p, src, static, times, lengths, train, rng:
+            raindrop_apply(p, cfg, src, static, times, lengths,
+                           train=train, rng=rng))
+        self._init = init_fn or (lambda key: raindrop_init(key, cfg))
+        self._build()
+
+    # ---- compiled steps ------------------------------------------------
+    def _build(self):
+        cfg = self.cfg
+        # inject_hyperparams makes learning_rate a leaf of opt_state so the
+        # host-side plateau scheduler can rewrite it without recompiling.
+        self.optimizer = optax.inject_hyperparams(optax.adam)(
+            learning_rate=self.tcfg.learning_rate)
+
+        def loss_fn(params, batch, rng):
+            # batch arrays are batch-major; transpose to the reference's
+            # time-major model boundary inside jit (free under XLA).
+            src = batch["P"].transpose(1, 0, 2)
+            times = batch["time"].transpose(1, 0)
+            lengths = jnp.sum(times > 0, axis=0)      # code/Raindrop.py:317
+            logits, dist = self._apply(params, src, batch.get("static"),
+                                       times, lengths, True, rng)
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits, batch["y"]).mean()
+            return ce, (logits, dist)
+
+        def train_step(params, opt_state, batch, rng):
+            (loss, (logits, _)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch, rng)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, logits
+
+        def eval_step(params, batch):
+            src = batch["P"].transpose(1, 0, 2)
+            times = batch["time"].transpose(1, 0)
+            lengths = jnp.sum(times > 0, axis=0)
+            logits, _ = self._apply(params, src, batch.get("static"),
+                                    times, lengths, False, None)
+            return logits
+
+        donate = (0, 1)
+        if self.mesh is not None:
+            from raindrop_tpu.parallel.mesh import shard_batch_spec, replicated
+            from jax.sharding import NamedSharding
+
+            rep = NamedSharding(self.mesh, replicated())
+            data = NamedSharding(self.mesh, shard_batch_spec())
+            self._batch_sharding = data
+            self._train_step = jax.jit(
+                train_step, donate_argnums=donate,
+                out_shardings=(rep, rep, rep, data))
+            self._eval_step = jax.jit(eval_step, out_shardings=data)
+        else:
+            self._batch_sharding = None
+            self._train_step = jax.jit(train_step, donate_argnums=donate)
+            self._eval_step = jax.jit(eval_step)
+
+    # ---- data movement -------------------------------------------------
+    def _device_batch(self, P, time, static, y=None):
+        batch = {"P": jnp.asarray(P), "time": jnp.asarray(time)}
+        if static is not None:
+            batch["static"] = jnp.asarray(static)
+        if y is not None:
+            batch["y"] = jnp.asarray(y)
+        if self._batch_sharding is not None:
+            batch = jax.device_put(batch, self._batch_sharding)
+        return batch
+
+    # ---- evaluation ----------------------------------------------------
+    def predict(self, params, P, time, static, batch_size: int = 100) -> np.ndarray:
+        """Chunked inference with a padded tail (static shapes, 2 compiles max).
+
+        Reference equivalent: utils_rd.evaluate (code/utils_rd.py:276-307),
+        minus its stale-tail-static bug.
+        """
+        N = P.shape[0]
+        if self.mesh is not None:
+            n_dev = int(np.prod(self.mesh.devices.shape))
+            batch_size = max(batch_size // n_dev * n_dev, n_dev)
+        out = np.zeros((N, self.cfg.n_classes), np.float32)
+        for start in range(0, N, batch_size):
+            end = min(start + batch_size, N)
+            sl = slice(start, end)
+            n = end - start
+            if n < batch_size:  # pad tail to keep the compiled shape
+                pad = batch_size - n
+                Pb = np.concatenate([P[sl], np.repeat(P[end - 1:end], pad, 0)])
+                tb = np.concatenate([time[sl], np.repeat(time[end - 1:end], pad, 0)])
+                sb = (np.concatenate([static[sl], np.repeat(static[end - 1:end], pad, 0)])
+                      if static is not None else None)
+            else:
+                Pb, tb = P[sl], time[sl]
+                sb = static[sl] if static is not None else None
+            logits = self._eval_step(params, self._device_batch(Pb, tb, sb))
+            out[sl] = np.asarray(jax.device_get(logits))[:n]
+        return out
+
+    # ---- the full per-split protocol ------------------------------------
+    def train_split(self, split: Split, *, seed: Optional[int] = None,
+                    log_file=None, checkpoint_path: Optional[str] = None,
+                    verbose: bool = True) -> TrainResult:
+        cfg, tcfg = self.cfg, self.tcfg
+        seed = tcfg.seed if seed is None else seed
+        rng_np = np.random.default_rng(seed)
+        key = jax.random.PRNGKey(seed)
+        key, init_key = jax.random.split(key)
+
+        params = self._init(init_key)
+        if self._batch_sharding is not None:
+            from jax.sharding import NamedSharding
+            from raindrop_tpu.parallel.mesh import replicated
+            params = jax.device_put(
+                params, NamedSharding(self.mesh, replicated()))
+        opt_state = self.optimizer.init(params)
+        scheduler = ReduceLROnPlateau(
+            tcfg.learning_rate, factor=tcfg.plateau_factor,
+            patience=tcfg.plateau_patience, threshold=tcfg.plateau_threshold,
+            min_lr=tcfg.plateau_min_lr)
+
+        strategy = tcfg.batching_strategy
+        n_batches = n_batches_per_epoch(
+            split.ytrain, tcfg.batch_size, strategy, tcfg.n_batches_strategy3)
+
+        best = {"auroc": 0.0, "auprc": 0.0, "params": None}
+        history: List[Dict[str, Any]] = []
+        n_samples_done = 0
+        t0 = time.time()
+
+        for epoch in range(tcfg.num_epochs):
+            for idx in balanced_batches(split.ytrain, tcfg.batch_size,
+                                        strategy, rng_np, n_batches=n_batches):
+                key, step_key = jax.random.split(key)
+                batch = self._device_batch(
+                    split.Ptrain[idx], split.Ptrain_time[idx],
+                    None if split.Ptrain_static is None else split.Ptrain_static[idx],
+                    split.ytrain[idx])
+                params, opt_state, loss, logits = self._train_step(
+                    params, opt_state, batch, step_key)
+                n_samples_done += len(idx)
+
+            # --- validation (every epoch, reference code/Raindrop.py:344-374)
+            val_logits = self.predict(params, split.Pval, split.Pval_time,
+                                      split.Pval_static)
+            val = classification_metrics(val_logits, split.yval, cfg.n_classes,
+                                         prob_mode="sigmoid")
+            new_lr = scheduler.step(val["auprc"])
+            opt_state.hyperparams["learning_rate"] = jnp.asarray(
+                new_lr, dtype=opt_state.hyperparams["learning_rate"].dtype)
+
+            rec = {"epoch": epoch, "train_loss": float(loss),
+                   "val_auroc": val["auroc"], "val_auprc": val["auprc"],
+                   "lr": new_lr, "elapsed_s": time.time() - t0}
+            history.append(rec)
+            if log_file:
+                log_file.write(json.dumps(rec) + "\n")
+                log_file.flush()
+            if verbose:
+                print(f"epoch {epoch}: loss={rec['train_loss']:.4f} "
+                      f"val_auroc={val['auroc']*100:.2f} "
+                      f"val_auprc={val['auprc']*100:.2f} lr={new_lr:.2e}")
+
+            # best checkpoint keyed on AUROC (code/Raindrop.py:369-374)
+            if val["auroc"] > best["auroc"]:
+                best.update(auroc=val["auroc"], auprc=val["auprc"],
+                            params=jax.device_get(params))
+                if checkpoint_path:
+                    save_checkpoint(checkpoint_path, params,
+                                    meta={"epoch": epoch, "val": val,
+                                          "config": dataclasses.asdict(cfg)})
+
+        elapsed = time.time() - t0
+        # --- test with the best params, softmax path (code/Raindrop.py:380-406)
+        test_params = best["params"] if best["params"] is not None else params
+        test_logits = self.predict(test_params, split.Ptest, split.Ptest_time,
+                                   split.Ptest_static)
+        test = classification_metrics(test_logits, split.ytest, cfg.n_classes,
+                                      prob_mode="softmax")
+        return TrainResult(
+            test_metrics=test, best_val_auroc=best["auroc"],
+            best_val_auprc=best["auprc"], history=history,
+            samples_per_sec=n_samples_done / max(elapsed, 1e-9),
+            params=test_params)
+
+
+def run_splits(make_split, cfg: RaindropConfig, tcfg: TrainConfig, *,
+               mesh=None, verbose: bool = True) -> Dict[str, Any]:
+    """The 5-split x n_runs protocol with the reference's aggregation:
+    best run per split by AUPRC, then mean±std over splits
+    (reference code/Raindrop.py:417-446).
+
+    make_split: callable split_idx (1-based) -> Split.
+    """
+    trainer = Trainer(cfg, tcfg, mesh=mesh)
+    log_file = open(tcfg.log_path, "a") if tcfg.log_path else None
+    per_split: List[Dict[str, float]] = []
+    try:
+        for k in range(1, tcfg.n_splits + 1):
+            split = make_split(k)
+            runs = []
+            for m in range(tcfg.n_runs):
+                if verbose:
+                    print(f"--- split {k} run {m + 1} ---")
+                ckpt = os.path.join(tcfg.checkpoint_dir,
+                                    f"raindrop_{tcfg.dataset}_s{k}_r{m}")
+                res = trainer.train_split(
+                    split, seed=tcfg.seed + m, log_file=log_file,
+                    checkpoint_path=ckpt, verbose=verbose)
+                runs.append(res)
+            best_run = max(runs, key=lambda r: r.test_metrics["auprc"])
+            per_split.append(best_run.test_metrics)
+    finally:
+        if log_file:
+            log_file.close()
+
+    summary = {}
+    for name in per_split[0]:
+        vals = np.array([m[name] for m in per_split]) * 100.0
+        summary[name] = {"mean": float(vals.mean()), "std": float(vals.std()),
+                         "per_split": vals.tolist()}
+    if verbose:
+        for name, s in summary.items():
+            print(f"{name:>9} = {s['mean']:.1f} +/- {s['std']:.1f}")
+    return {"summary": summary, "per_split": per_split}
