@@ -43,6 +43,7 @@ class RaindropConfig:
                                  # its default dropout=0., code/models_rd.py:243)
     init_range: float = 1e-10    # reference code/models_rd.py:272 encoder/emb init
     dtype: str = "float32"       # compute dtype of the model forward
+    attention_backend: str = "auto"  # 'auto' | 'dense' | 'flash' (Pallas)
 
     @property
     def d_model(self) -> int:

@@ -173,7 +173,8 @@ def raindrop_apply(
     mask = padding_mask(lengths, T)                        # [B, T] True = pad
     r_out = transformer_encoder_apply(
         params["transformer_encoder"], output, mask, cfg.nhead,
-        dropout_rate=cfg.dropout, rng=r_trans, train=train)
+        dropout_rate=cfg.dropout, rng=r_trans, train=train,
+        backend=cfg.attention_backend)
 
     # --- masked aggregation (code/models_rd.py:364-379) ---
     if cfg.sensor_wise_mask:

@@ -66,6 +66,7 @@ def multihead_self_attention(
     dropout_rate: float = 0.0,
     rng=None,
     train: bool = False,
+    backend: str = "auto",          # 'auto' | 'dense' | 'flash'
 ) -> jnp.ndarray:
     B, T, d = x.shape
     hd = d // nhead
@@ -74,6 +75,25 @@ def multihead_self_attention(
 
     def heads(t):  # [B, T, d] -> [B, nhead, T, hd]
         return t.reshape(B, T, nhead, hd).transpose(0, 2, 1, 3)
+
+    if backend == "auto":
+        # The Pallas kernel wins once the T x T score matrix dominates HBM
+        # traffic; below that the XLA fusion of these small shapes is faster.
+        backend = ("flash" if T >= 256 and jax.default_backend() == "tpu"
+                   else "dense")
+    if backend == "flash":
+        from raindrop_tpu.ops.flash_attention import flash_mha
+
+        # key_padding_mask marks t >= length (contiguous suffix padding,
+        # nn/aggregate.padding_mask); flash takes the prefix lengths.
+        lengths = (jnp.full((B,), T, jnp.int32) if key_padding_mask is None
+                   else jnp.sum(~key_padding_mask, axis=1).astype(jnp.int32))
+        rate = dropout_rate if (train and rng is not None) else 0.0
+        seed = (jax.random.randint(rng, (1,), 0, 2 ** 31 - 1, jnp.int32)
+                if rate > 0.0 else None)
+        out = flash_mha(heads(q), heads(k), heads(v), lengths, seed, rate)
+        out = out.transpose(0, 2, 1, 3).reshape(B, T, d)
+        return linear_apply(p["out_proj"], out)
 
     q, k, v = heads(q) * (hd ** -0.5), heads(k), heads(v)
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k)
@@ -101,6 +121,7 @@ def transformer_encoder_apply(
     dropout_rate: float = 0.0,
     rng=None,
     train: bool = False,
+    backend: str = "auto",
 ) -> jnp.ndarray:
     num_layers = len(params)
     rngs = (jax.random.split(rng, 4 * num_layers)
@@ -109,7 +130,7 @@ def transformer_encoder_apply(
         p = params[f"layer{i}"]
         r = rngs[4 * i: 4 * i + 4]
         attn = multihead_self_attention(
-            p, x, key_padding_mask, nhead, dropout_rate, r[0], train)
+            p, x, key_padding_mask, nhead, dropout_rate, r[0], train, backend)
         x = _layer_norm(p["ln1"], x + _dropout(r[1], attn, dropout_rate, train))
         h = jax.nn.relu(linear_apply(p["lin1"], x))
         h = _dropout(r[2], h, dropout_rate, train)

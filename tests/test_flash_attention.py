@@ -1,0 +1,88 @@
+"""Pallas flash attention vs dense oracle (interpret mode on CPU), plus the
+transformer backend integration."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from raindrop_tpu.ops.flash_attention import (
+    MAX_FUSED_T,
+    flash_mha,
+    attention_reference,
+)
+
+
+def _rand_qkv(rng, B, H, T, D):
+    return tuple(jnp.asarray(rng.normal(size=(B, H, T, D)).astype(np.float32))
+                 for _ in range(3))
+
+
+def test_fused_path_matches_dense(rng_np):
+    q, k, v = _rand_qkv(rng_np, 2, 2, 70, 20)       # T < MAX_FUSED_T
+    lengths = jnp.asarray([70, 33], jnp.int32)
+    o = flash_mha(q, k, v, lengths)
+    o_ref = attention_reference(q, k, v, lengths)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_grads_match_dense(rng_np):
+    q, k, v = _rand_qkv(rng_np, 2, 1, 40, 12)
+    lengths = jnp.asarray([40, 17], jnp.int32)
+    g1 = jax.grad(lambda *a: jnp.sum(flash_mha(*a, lengths) ** 2),
+                  argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(lambda *a: jnp.sum(attention_reference(*a, lengths) ** 2),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_streaming_path_matches_dense(rng_np):
+    T = MAX_FUSED_T + 128                            # force streaming kernels
+    q, k, v = _rand_qkv(rng_np, 1, 1, T, 16)
+    lengths = jnp.asarray([T - 200], jnp.int32)
+    o = flash_mha(q, k, v, lengths)
+    o_ref = attention_reference(q, k, v, lengths)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref),
+                               rtol=1e-4, atol=1e-4)
+    g1 = jax.grad(lambda a: jnp.sum(flash_mha(a, k, v, lengths) ** 2))(q)
+    g2 = jax.grad(lambda a: jnp.sum(attention_reference(a, k, v, lengths) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fully_padded_rows_zero(rng_np):
+    q, k, v = _rand_qkv(rng_np, 2, 2, 35, 8)
+    lengths = jnp.asarray([35, 0], jnp.int32)
+    o = flash_mha(q, k, v, lengths)
+    assert bool(jnp.all(o[1] == 0.0))
+    assert bool(jnp.all(jnp.isfinite(o)))
+
+
+def test_dropout_deterministic_and_unbiased(rng_np):
+    q, k, v = _rand_qkv(rng_np, 2, 2, 64, 16)
+    lengths = jnp.asarray([64, 40], jnp.int32)
+    seed = jnp.asarray([123], jnp.int32)
+    o1 = flash_mha(q, k, v, lengths, seed, 0.3)
+    o2 = flash_mha(q, k, v, lengths, seed, 0.3)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    o3 = flash_mha(q, k, v, lengths, jnp.asarray([7], jnp.int32), 0.3)
+    assert not np.allclose(np.asarray(o1), np.asarray(o3))
+    # gradient flows through the dropout path
+    g = jax.grad(lambda a: jnp.sum(flash_mha(a, k, v, lengths, seed, 0.3) ** 2))(q)
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_transformer_flash_backend_equals_dense(rng_np):
+    from raindrop_tpu.nn.transformer import (
+        transformer_encoder_init, transformer_encoder_apply)
+    d, nhead, T, B = 32, 2, 48, 3
+    params = transformer_encoder_init(jax.random.PRNGKey(0), d, nhead, 64, 2)
+    x = jnp.asarray(rng_np.normal(size=(B, T, d)).astype(np.float32))
+    lengths = np.array([48, 20, 5])
+    mask = jnp.asarray(np.arange(T)[None] >= lengths[:, None])
+    out_d = transformer_encoder_apply(params, x, mask, nhead, backend="dense")
+    out_f = transformer_encoder_apply(params, x, mask, nhead, backend="flash")
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_f),
+                               rtol=1e-4, atol=1e-5)
