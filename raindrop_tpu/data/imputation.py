@@ -1,0 +1,108 @@
+"""Imputation transforms for the Trans-mean baseline family.
+
+Reference code/baselines/utils_phy12.py:175-287 (mean / forward /
+cubic-spline) and code/baselines/imputations.py:72-123 (kNN / MICE).
+Applied to raw [N, T, F] value arrays BEFORE tensorize/normalize, exactly
+where Transformer_baseline.py:155-204 applies them. Missing entries are 0
+(the repo-wide convention); imputation only touches timesteps within each
+sample's observed time range (rows with a timestamp).
+
+All host-side numpy; mean and forward are vectorized, cubic-spline loops
+per (sample, channel) like the reference (scipy CubicSpline is inherently
+per-series).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _time_lengths(X_time: np.ndarray) -> np.ndarray:
+    """Per-sample observed length from the timestamp array [N, T] (first
+    zero after the initial step — utils_phy12.py:184-191)."""
+    N, T = X_time.shape
+    lengths = np.full(N, T, np.int64)
+    for i in range(N):
+        zeros = np.where(X_time[i] == 0)[0]
+        if zeros.size == 0:
+            continue
+        lengths[i] = zeros[1] if zeros[0] == 0 and zeros.size > 1 else zeros[0]
+    return lengths
+
+
+def mean_imputation(X: np.ndarray, X_time: np.ndarray,
+                    mean_features: np.ndarray) -> np.ndarray:
+    """Missing entries <- per-feature train means (utils_phy12.py:175-205)."""
+    X = X.copy()
+    lengths = _time_lengths(X_time)
+    t_idx = np.arange(X.shape[1])[None, :, None]
+    in_range = t_idx < lengths[:, None, None]
+    missing = (X == 0) & in_range
+    X[missing] = np.broadcast_to(mean_features[None, None], X.shape)[missing]
+    return X
+
+
+def forward_imputation(X: np.ndarray, X_time: np.ndarray) -> np.ndarray:
+    """Missing entries <- last observed value of the channel
+    (utils_phy12.py:208-240); leading missing stay 0."""
+    X = X.copy()
+    lengths = _time_lengths(X_time)
+    N, T, F = X.shape
+    t_in = np.arange(T)[None, :, None] < lengths[:, None, None]
+    obs = (X != 0) & t_in
+    # last-observed index per step via cummax of observed positions
+    idx = np.where(obs, np.arange(T)[None, :, None], -1)
+    idx = np.maximum.accumulate(idx, axis=1)
+    filled = np.take_along_axis(X, np.maximum(idx, 0), axis=1)
+    out = np.where((X == 0) & t_in & (idx >= 0), filled, X)
+    return out
+
+
+def cubic_spline_imputation(X: np.ndarray, X_time: np.ndarray) -> np.ndarray:
+    """Cubic-spline interpolation per channel with flat extrapolation
+    (utils_phy12.py:243-287)."""
+    from scipy.interpolate import CubicSpline
+
+    X = X.copy()
+    lengths = _time_lengths(X_time)
+    N, T, F = X.shape
+    for i in range(N):
+        L = lengths[i]
+        t = X_time[i, :L]
+        for j in range(F):
+            ts = X[i, :L, j]
+            nz = np.nonzero(ts)[0]
+            if len(nz) <= 1:
+                continue
+            zeros = np.where(ts == 0)[0]
+            cs = CubicSpline(t[nz], ts[nz])
+            ts[zeros] = cs(t[zeros])
+            ts[: nz[0]] = ts[nz[0]]
+            ts[nz[-1]:] = ts[nz[-1]]
+            X[i, :L, j] = ts
+    return X
+
+
+def knn_imputation(X: np.ndarray, n_neighbors: int = 5) -> np.ndarray:
+    """sklearn KNNImputer over [N*T, F] with 0 = missing
+    (imputations.py:72-95)."""
+    from sklearn.impute import KNNImputer
+
+    N, T, F = X.shape
+    flat = X.reshape(N * T, F).astype(np.float64)
+    flat[flat == 0] = np.nan
+    out = KNNImputer(n_neighbors=n_neighbors).fit_transform(flat)
+    return np.nan_to_num(out).reshape(N, T, F).astype(X.dtype)
+
+
+def mice_imputation(X: np.ndarray, max_iter: int = 10) -> np.ndarray:
+    """sklearn IterativeImputer (MICE) (imputations.py:98-123)."""
+    from sklearn.experimental import enable_iterative_imputer  # noqa: F401
+    from sklearn.impute import IterativeImputer
+
+    N, T, F = X.shape
+    flat = X.reshape(N * T, F).astype(np.float64)
+    flat[flat == 0] = np.nan
+    out = IterativeImputer(max_iter=max_iter,
+                           random_state=0).fit_transform(flat)
+    return np.nan_to_num(out).reshape(N, T, F).astype(X.dtype)

@@ -1,0 +1,180 @@
+"""Experiment CLI — the reference driver's flag surface, TPU-native.
+
+Reference: python code/Raindrop.py --dataset P12 --withmissingratio False
+--splittype random --reverse False --feature_removal_level no_removal
+--predictive_label mortality (code/Raindrop.py:60-70; README.md:196-208).
+
+Usage:
+  python -m raindrop_tpu.run --dataset P12 --data-root /path/to/P12data
+  python -m raindrop_tpu.run --dataset PAM --synthetic 2000   # no real data
+  python -m raindrop_tpu.run --dataset P19 --model transformer ...
+
+Additional flags expose what the reference hard-codes: --model (raindrop |
+raindrop_v1 | transformer | seft), --use-beta, --sensor-wise-mask, epochs,
+batch size, learning rate, mesh data-parallel degree.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def str2bool(v: str) -> bool:
+    return str(v).lower() in ("true", "1", "yes")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("raindrop_tpu")
+    # the reference's six flags (code/Raindrop.py:61-70)
+    p.add_argument("--dataset", default="P12",
+                   choices=["P12", "P19", "eICU", "PAM"])
+    p.add_argument("--withmissingratio", type=str2bool, default=False,
+                   help="sweep missing ratios 0.1..0.5 (code/Raindrop.py:96-100)")
+    p.add_argument("--splittype", default="random",
+                   choices=["random", "age", "gender"])
+    p.add_argument("--reverse", type=str2bool, default=False)
+    p.add_argument("--feature_removal_level", default="no_removal",
+                   choices=["no_removal", "set", "sample"])
+    p.add_argument("--predictive_label", default="mortality",
+                   choices=["mortality", "LoS"])
+    # explicit versions of the reference's hidden knobs
+    p.add_argument("--model", default="raindrop",
+                   choices=["raindrop", "raindrop_v1", "transformer", "seft"])
+    p.add_argument("--use-beta", type=str2bool, default=False)
+    p.add_argument("--sensor-wise-mask", type=str2bool, default=False)
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--n-splits", type=int, default=5)
+    p.add_argument("--n-runs", type=int, default=1)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--data-root", default=None,
+                   help="dataset root (P12data/ etc.); omit with --synthetic")
+    p.add_argument("--synthetic", type=int, default=0, metavar="N",
+                   help="use N synthetic samples instead of real data")
+    p.add_argument("--data-parallel", type=int, default=0,
+                   help="devices on the mesh 'data' axis (0 = no mesh)")
+    p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--log-path", default=None)
+    p.add_argument("--out-json", default=None,
+                   help="write the summary dict as JSON here")
+    return p
+
+
+def make_model_fns(args, cfg):
+    """(init_fn, apply_fn) for the selected model family."""
+    if args.model == "raindrop":
+        return None, None  # Trainer default
+    if args.model == "raindrop_v1":
+        from raindrop_tpu.models.raindrop_v1 import (
+            raindrop_v1_apply, raindrop_v1_init)
+        return (lambda key: raindrop_v1_init(key, cfg),
+                lambda p, src, st, tm, ln, train, rng:
+                raindrop_v1_apply(p, cfg, src, st, tm, ln,
+                                  train=train, rng=rng))
+    if args.model == "transformer":
+        from raindrop_tpu.baselines.transformer import (
+            transformer2_apply, transformer2_init)
+        return (lambda key: transformer2_init(key, cfg),
+                lambda p, src, st, tm, ln, train, rng:
+                transformer2_apply(p, cfg, src, st, tm, ln,
+                                   train=train, rng=rng))
+    if args.model == "seft":
+        from raindrop_tpu.baselines.seft import seft_apply, seft_init
+        return (lambda key: seft_init(key, cfg),
+                lambda p, src, st, tm, ln, train, rng:
+                seft_apply(p, cfg, src, st, tm, ln, train=train, rng=rng))
+    raise ValueError(args.model)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from raindrop_tpu.config import TrainConfig, dataset_config
+    from raindrop_tpu.data import (
+        load_split,
+        remove_sensors_fixed,
+        remove_sensors_random,
+        synthetic_split,
+    )
+    from raindrop_tpu.train import run_splits, Trainer
+
+    cfg = dataset_config(args.dataset, use_beta=args.use_beta,
+                         sensor_wise_mask=args.sensor_wise_mask)
+    missing_ratios = ([0.1, 0.2, 0.3, 0.4, 0.5] if args.withmissingratio
+                      else [0.0])
+
+    mesh = None
+    if args.data_parallel:
+        from raindrop_tpu.parallel import make_mesh
+        mesh = make_mesh(n_data=args.data_parallel)
+
+    all_results = {}
+    for mr in missing_ratios:
+        tcfg = TrainConfig(
+            dataset=args.dataset, num_epochs=args.epochs,
+            learning_rate=args.lr, batch_size=args.batch_size,
+            n_splits=args.n_splits, n_runs=args.n_runs,
+            batching_strategy=3 if args.dataset == "PAM" else 2,
+            split_type=args.splittype, reverse=args.reverse,
+            feature_removal_level=args.feature_removal_level,
+            missing_ratio=mr, predictive_label=args.predictive_label,
+            seed=args.seed, checkpoint_dir=args.checkpoint_dir,
+            log_path=args.log_path)
+
+        def make_split(k, _mr=mr):
+            if args.synthetic:
+                sp = synthetic_split(args.dataset, n=args.synthetic,
+                                     seed=args.seed * 1000 + k)
+            else:
+                if not args.data_root:
+                    raise SystemExit("--data-root or --synthetic required")
+                sp = load_split(args.data_root, args.dataset, k,
+                                split_type=args.splittype,
+                                reverse=args.reverse,
+                                predictive_label=args.predictive_label)
+            if _mr > 0:
+                rng = np.random.default_rng(args.seed * 100 + k)
+                if args.feature_removal_level == "sample":
+                    sp.Pval = remove_sensors_random(sp.Pval, _mr, rng)
+                    sp.Ptest = remove_sensors_random(sp.Ptest, _mr, rng)
+                elif args.feature_removal_level == "set":
+                    from raindrop_tpu.data.settings import information_gain_ranking
+                    F = sp.Ptrain.shape[2] // 2
+                    ranking = information_gain_ranking(
+                        sp.Ptrain[:, :, :F], sp.ytrain, seed=args.seed)
+                    sp.Pval = remove_sensors_fixed(sp.Pval, ranking, _mr)
+                    sp.Ptest = remove_sensors_fixed(sp.Ptest, ranking, _mr)
+            return sp
+
+        init_fn, apply_fn = make_model_fns(args, cfg)
+        if init_fn is None:
+            results = run_splits(make_split, cfg, tcfg, mesh=mesh)
+        else:
+            trainer = Trainer(cfg, tcfg, mesh=mesh,
+                              apply_fn=apply_fn, init_fn=init_fn)
+            per_split = []
+            for k in range(1, tcfg.n_splits + 1):
+                res = trainer.train_split(make_split(k))
+                per_split.append(res.test_metrics)
+            summary = {
+                name: {"mean": float(np.mean([m[name] for m in per_split]) * 100),
+                       "std": float(np.std([m[name] for m in per_split]) * 100)}
+                for name in per_split[0]}
+            results = {"summary": summary, "per_split": per_split}
+        all_results[f"missing_{mr}"] = results["summary"]
+        for name, s in results["summary"].items():
+            print(f"[mr={mr}] {name:>9} = {s['mean']:.1f} +/- {s['std']:.1f}")
+
+    if args.out_json:
+        with open(args.out_json, "w") as f:
+            json.dump(all_results, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
