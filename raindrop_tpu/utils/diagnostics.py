@@ -1,0 +1,93 @@
+"""Observability: profiler traces, NaN guards, throughput counters.
+
+The reference's only instrumentation is wall-clock time.time() and a
+disabled wandb hook (reference code/Raindrop.py:2-10,287,376-378 —
+SURVEY.md §5.1). Here:
+
+  * `profile_trace` wraps a step range in a jax.profiler trace for
+    xprof/tensorboard;
+  * `nan_guard` checks a pytree for non-finite leaves on the host (cheap,
+    off the hot path — call on loss/grads every N steps); the moral
+    descendant of the reference's inline NaN asserts
+    (code/baselines/models.py:1210-1211);
+  * `debug_nan_context` flips jax's global NaN checker on for a scope
+    (compiles with checks; slow — debugging only);
+  * `Throughput` tracks samples/s and edges/s (the BASELINE.json metric).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+
+@contextlib.contextmanager
+def profile_trace(logdir: str) -> Iterator[None]:
+    """jax.profiler trace context; view with tensorboard/xprof."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def nan_guard(tree, name: str = "tree", raise_error: bool = True
+              ) -> Dict[str, int]:
+    """Count non-finite elements per leaf path; host-side."""
+    bad = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        a = np.asarray(jax.device_get(leaf))
+        if np.issubdtype(a.dtype, np.floating):
+            n = int(np.size(a) - np.isfinite(a).sum())
+            if n:
+                key = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                               for p in path)
+                bad[key] = n
+    if bad and raise_error:
+        raise FloatingPointError(f"non-finite values in {name}: {bad}")
+    return bad
+
+
+@contextlib.contextmanager
+def debug_nan_context() -> Iterator[None]:
+    """Enable jax_debug_nans inside the scope (recompiles; debugging only)."""
+    prev = jax.config.jax_debug_nans
+    jax.config.update("jax_debug_nans", True)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_debug_nans", prev)
+
+
+class Throughput:
+    """Rolling samples/s / edges/s counters.
+
+    edges_per_sample: 2 * F^2 for the shipped 2-layer complete-graph model
+    (SURVEY.md §3.3).
+    """
+
+    def __init__(self, edges_per_sample: Optional[int] = None):
+        self.edges_per_sample = edges_per_sample
+        self.reset()
+
+    def reset(self) -> None:
+        self._t0 = time.perf_counter()
+        self._samples = 0
+
+    def update(self, n_samples: int) -> None:
+        self._samples += n_samples
+
+    @property
+    def elapsed(self) -> float:
+        return time.perf_counter() - self._t0
+
+    def summary(self) -> Dict[str, float]:
+        dt = max(self.elapsed, 1e-9)
+        out = {"samples_per_sec": self._samples / dt, "elapsed_s": dt}
+        if self.edges_per_sample:
+            out["edges_per_sec"] = self._samples * self.edges_per_sample / dt
+        return out
