@@ -1,0 +1,157 @@
+"""Trainer adapters: every baseline behind the one pluggable interface.
+
+The reference ships a separate driver script per baseline
+(code/baselines/*_baseline.py), each re-implementing the same epoch loop.
+Here one Trainer runs them all: each adapter maps the canonical batch
+contract — apply(params, src [T,B,2F], static, times [T,B], lengths,
+train, rng) -> (logits, aux) — onto the baseline's native inputs.
+
+Loss conventions: CrossEntropy on n_classes logits for all models (the
+reference's GRU-D P12 path uses scalar sigmoid + BCELoss,
+GRU-D_baseline.py:289 — an equivalent objective; we keep the uniform CE
+head). IP-Net adds its autoencoder reconstruction as `aux`, weighted into
+the loss by TrainConfig.aux_loss_weight (the reference trains main+aux
+jointly, IP_Net_baseline.py:97-118).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from raindrop_tpu.config import RaindropConfig
+
+
+def make_baseline(name: str, cfg: RaindropConfig
+                  ) -> Tuple[Callable, Callable]:
+    """(init_fn, apply_fn) for Trainer(cfg, tcfg, init_fn=..., apply_fn=...)."""
+    F = cfg.d_inp
+
+    if name == "transformer":
+        from raindrop_tpu.baselines.transformer import (
+            transformer2_apply, transformer2_init)
+        return (lambda key: transformer2_init(key, cfg),
+                lambda p, src, st, tm, ln, train, rng:
+                transformer2_apply(p, cfg, src, st, tm, ln,
+                                   train=train, rng=rng))
+
+    if name == "transformer_ctx":
+        from raindrop_tpu.baselines.transformer_ctx import (
+            transformer_ctx_apply, transformer_ctx_init)
+        return (lambda key: transformer_ctx_init(key, cfg),
+                lambda p, src, st, tm, ln, train, rng:
+                transformer_ctx_apply(p, cfg, src, st, tm, ln,
+                                      train=train, rng=rng))
+
+    if name == "seft":
+        from raindrop_tpu.baselines.seft import seft_apply, seft_init
+        return (lambda key: seft_init(key, cfg),
+                lambda p, src, st, tm, ln, train, rng:
+                seft_apply(p, cfg, src, st, tm, ln, train=train, rng=rng))
+
+    if name == "raindrop_v1":
+        from raindrop_tpu.models.raindrop_v1 import (
+            raindrop_v1_apply, raindrop_v1_init)
+        return (lambda key: raindrop_v1_init(key, cfg),
+                lambda p, src, st, tm, ln, train, rng:
+                raindrop_v1_apply(p, cfg, src, st, tm, ln,
+                                  train=train, rng=rng))
+
+    if name == "grud":
+        from raindrop_tpu.baselines.grud import (
+            build_delta, grud_apply, grud_init)
+
+        def init(key):
+            return grud_init(key, F, cfg.n_classes)
+
+        def apply(p, src, st, tm, ln, train, rng):
+            x = src[:, :, :F].transpose(1, 0, 2)        # [B, T, F]
+            m = src[:, :, F:2 * F].transpose(1, 0, 2)
+            delta = build_delta(m, tm.transpose(1, 0))
+            out, _ = grud_apply(p, x, m, delta,
+                                dropout_rate=cfg.dropout,
+                                train=train, rng=rng)
+            return out, jnp.zeros(())
+
+        return init, apply
+
+    if name == "mtand":
+        from raindrop_tpu.baselines.mtand import mtand_apply, mtand_init
+
+        def init(key):
+            return mtand_init(key, 2 * F, nhidden=32, embed_time=16,
+                              n_classes=cfg.n_classes)
+
+        def apply(p, src, st, tm, ln, train, rng):
+            x = src.transpose(1, 0, 2)                  # [B, T, 2F]
+            # mTAND normalizes timelines to [0, 1] by the 48h max
+            # (reference mTAND/utils.py:516-518)
+            t01 = tm.transpose(1, 0) / 48.0
+            return mtand_apply(p, x, t01, train=train, rng=rng)
+
+        return init, apply
+
+    if name == "mtgnn":
+        from raindrop_tpu.baselines.mtgnn import mtgnn_apply, mtgnn_init
+
+        def init(key):
+            return mtgnn_init(key, F, cfg.max_len, cfg.n_classes,
+                              d_static=cfg.d_static if cfg.static else 0)
+
+        def apply(p, src, st, tm, ln, train, rng):
+            vals = src[:, :, :F].transpose(1, 0, 2)     # [B, T, F]
+            return mtgnn_apply(p, vals, st if cfg.static else None,
+                               dropout_rate=cfg.dropout,
+                               train=train, rng=rng)
+
+        return init, apply
+
+    if name == "dgm2":
+        from raindrop_tpu.baselines.dgm2 import dgm2_apply, dgm2_init
+
+        def init(key):
+            return dgm2_init(key, F, cfg.max_len, cfg.n_classes,
+                             d_static=cfg.d_static if cfg.static else 0)
+
+        def apply(p, src, st, tm, ln, train, rng):
+            vals = src[:, :, :F].transpose(1, 0, 2)
+            # shared uniform timeline like evaluate_DGM2
+            # (reference code/baselines/utils_phy12.py:480-482)
+            timeline = jnp.linspace(0.0, float(cfg.max_len), cfg.max_len)
+            logits, _ = dgm2_apply(p, vals, timeline,
+                                   st if cfg.static else None,
+                                   train=train, rng=rng)
+            return logits, jnp.zeros(())
+
+        return init, apply
+
+    if name == "ipnet":
+        from raindrop_tpu.baselines.ipnet import (
+            ipnet_apply, ipnet_init, ipnet_reconstruction_loss)
+
+        def init(key):
+            return ipnet_init(key, F, n_classes=cfg.n_classes)
+
+        def apply(p, src, st, tm, ln, train, rng):
+            vals = src[:, :, :F].transpose(1, 0, 2).transpose(0, 2, 1)
+            mask = src[:, :, F:2 * F].transpose(1, 0, 2).transpose(0, 2, 1)
+            ts = jnp.broadcast_to(tm.transpose(1, 0)[:, None, :], mask.shape)
+            holdout = jnp.zeros_like(mask)   # no held-out set at train time
+            x4 = jnp.concatenate([vals, mask, ts, holdout], axis=1)
+            logits, reconst = ipnet_apply(p, x4, train=train, rng=rng)
+            # reconstruction of OBSERVED entries as the aux objective
+            # (the reference holds out 20% — IP_Net_baseline.py:156-162;
+            # with holdout=0 the masked loss covers all observed entries)
+            aux = ipnet_reconstruction_loss(
+                x4.at[:, 3 * F:].set(0.0), reconst, jnp.ones((F,)))
+            return logits, aux
+
+        return init, apply
+
+    raise ValueError(f"unknown baseline {name!r}")
+
+
+BASELINES = ("transformer", "transformer_ctx", "seft", "raindrop_v1",
+             "grud", "mtand", "mtgnn", "dgm2", "ipnet")

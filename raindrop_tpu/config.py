@@ -111,6 +111,10 @@ class TrainConfig:
     seed: int = 1
     checkpoint_dir: str = "checkpoints"
     log_path: Optional[str] = None        # JSONL log file
+    # weight on the model's aux output in the train loss (IP-Net uses its
+    # reconstruction here; Raindrop's alpha-distance stays excluded at 0.0
+    # like the reference, code/Raindrop.py:319-322)
+    aux_loss_weight: float = 0.0
 
 
 # Per-dataset presets, reference code/Raindrop.py:109-148.

@@ -43,7 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["mortality", "LoS"])
     # explicit versions of the reference's hidden knobs
     p.add_argument("--model", default="raindrop",
-                   choices=["raindrop", "raindrop_v1", "transformer", "seft"])
+                   choices=["raindrop", "raindrop_v1", "transformer",
+                            "transformer_ctx", "seft", "grud", "mtand",
+                            "mtgnn", "dgm2", "ipnet"])
     p.add_argument("--use-beta", type=str2bool, default=False)
     p.add_argument("--sensor-wise-mask", type=str2bool, default=False)
     p.add_argument("--epochs", type=int, default=20)
@@ -69,26 +71,8 @@ def make_model_fns(args, cfg):
     """(init_fn, apply_fn) for the selected model family."""
     if args.model == "raindrop":
         return None, None  # Trainer default
-    if args.model == "raindrop_v1":
-        from raindrop_tpu.models.raindrop_v1 import (
-            raindrop_v1_apply, raindrop_v1_init)
-        return (lambda key: raindrop_v1_init(key, cfg),
-                lambda p, src, st, tm, ln, train, rng:
-                raindrop_v1_apply(p, cfg, src, st, tm, ln,
-                                  train=train, rng=rng))
-    if args.model == "transformer":
-        from raindrop_tpu.baselines.transformer import (
-            transformer2_apply, transformer2_init)
-        return (lambda key: transformer2_init(key, cfg),
-                lambda p, src, st, tm, ln, train, rng:
-                transformer2_apply(p, cfg, src, st, tm, ln,
-                                   train=train, rng=rng))
-    if args.model == "seft":
-        from raindrop_tpu.baselines.seft import seft_apply, seft_init
-        return (lambda key: seft_init(key, cfg),
-                lambda p, src, st, tm, ln, train, rng:
-                seft_apply(p, cfg, src, st, tm, ln, train=train, rng=rng))
-    raise ValueError(args.model)
+    from raindrop_tpu.baselines.adapters import make_baseline
+    return make_baseline(args.model, cfg)
 
 
 def main(argv=None) -> int:

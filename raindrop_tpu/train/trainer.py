@@ -81,11 +81,16 @@ class Trainer:
             src = batch["P"].transpose(1, 0, 2)
             times = batch["time"].transpose(1, 0)
             lengths = jnp.sum(times > 0, axis=0)      # code/Raindrop.py:317
-            logits, dist = self._apply(params, src, batch.get("static"),
-                                       times, lengths, True, rng)
+            logits, aux = self._apply(params, src, batch.get("static"),
+                                      times, lengths, True, rng)
             ce = optax.softmax_cross_entropy_with_integer_labels(
                 logits, batch["y"]).mean()
-            return ce, (logits, dist)
+            # aux objective (e.g. IP-Net reconstruction). The reference
+            # EXCLUDES Raindrop's alpha-distance from the loss
+            # (code/Raindrop.py:319-322) — weight defaults to 0.
+            if self.tcfg.aux_loss_weight:
+                ce = ce + self.tcfg.aux_loss_weight * jnp.sum(aux)
+            return ce, (logits, aux)
 
         def train_step(params, opt_state, batch, rng):
             (loss, (logits, _)), grads = jax.value_and_grad(
@@ -162,7 +167,17 @@ class Trainer:
     # ---- the full per-split protocol ------------------------------------
     def train_split(self, split: Split, *, seed: Optional[int] = None,
                     log_file=None, checkpoint_path: Optional[str] = None,
+                    resume_from: Optional[str] = None,
                     verbose: bool = True) -> TrainResult:
+        """Run the full per-split protocol.
+
+        checkpoint_path: best-val-AUROC params go to <path>.npz (like the
+        reference, code/Raindrop.py:374) and the FULL training state
+        (params + opt state + scheduler + RNG states + epoch) goes to
+        <path>_last.npz each epoch — something the reference cannot do
+        (no mid-run resume, SURVEY.md §5.4). resume_from: a _last path to
+        continue from exactly.
+        """
         cfg, tcfg = self.cfg, self.tcfg
         seed = tcfg.seed if seed is None else seed
         rng_np = np.random.default_rng(seed)
@@ -188,9 +203,22 @@ class Trainer:
         best = {"auroc": 0.0, "auprc": 0.0, "params": None}
         history: List[Dict[str, Any]] = []
         n_samples_done = 0
+        start_epoch = 0
+
+        if resume_from is not None:
+            from raindrop_tpu.train.checkpoint import load_checkpoint
+            params, opt_state, meta = load_checkpoint(
+                resume_from, params, opt_state)
+            scheduler.load_state_dict(meta["scheduler"])
+            rng_np.bit_generator.state = meta["np_rng_state"]
+            key = jnp.asarray(np.asarray(meta["jax_key"], np.uint32))
+            start_epoch = meta["epoch"] + 1
+            best.update(auroc=meta["best_auroc"], auprc=meta["best_auprc"])
+            history = meta.get("history", [])
+
         t0 = time.time()
 
-        for epoch in range(tcfg.num_epochs):
+        for epoch in range(start_epoch, tcfg.num_epochs):
             for idx in balanced_batches(split.ytrain, tcfg.batch_size,
                                         strategy, rng_np, n_batches=n_batches):
                 key, step_key = jax.random.split(key)
@@ -231,6 +259,16 @@ class Trainer:
                     save_checkpoint(checkpoint_path, params,
                                     meta={"epoch": epoch, "val": val,
                                           "config": dataclasses.asdict(cfg)})
+            if checkpoint_path:  # full resumable state, every epoch
+                save_checkpoint(
+                    checkpoint_path + "_last", params, opt_state,
+                    meta={"epoch": epoch,
+                          "scheduler": scheduler.state_dict(),
+                          "np_rng_state": rng_np.bit_generator.state,
+                          "jax_key": np.asarray(key).tolist(),
+                          "best_auroc": best["auroc"],
+                          "best_auprc": best["auprc"],
+                          "history": history})
 
         elapsed = time.time() - t0
         # --- test with the best params, softmax path (code/Raindrop.py:380-406)
