@@ -66,3 +66,34 @@ def load_checkpoint(path: str, params_template, opt_state_template=None
         with open(path + ".meta.json") as f:
             meta = json.load(f)
     return params, opt_state, meta
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend: multi-host/sharded checkpoints. The flat-.npz path above is
+# the dependency-light single-host default; use these on pods where each
+# host must write its own shard of a NamedSharding-distributed state
+# (SURVEY.md §5.4 "Orbax-style sharded checkpoints").
+# ---------------------------------------------------------------------------
+
+def save_checkpoint_orbax(path: str, state) -> None:
+    """Write a pytree (params/opt state/step counters) with orbax; sharded
+    arrays are written by their owning hosts."""
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), state, force=True)
+
+
+def load_checkpoint_orbax(path: str, template=None):
+    """Restore a pytree; with `template`, restores with its structure,
+    dtypes, and shardings."""
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        if template is None:
+            return ckptr.restore(os.path.abspath(path))
+        restore_args = jax.tree_util.tree_map(
+            lambda x: ocp.ArrayRestoreArgs(sharding=getattr(x, "sharding", None)),
+            template)
+        return ckptr.restore(os.path.abspath(path),
+                             item=template, restore_args=restore_args)

@@ -110,3 +110,18 @@ def test_single_vs_mesh_forward_equal():
     out1 = t1.predict(params, split.Ptest, split.Ptest_time, None, batch_size=8)
     out8 = t8.predict(params, split.Ptest, split.Ptest_time, None, batch_size=8)
     np.testing.assert_allclose(out1, out8, rtol=1e-5, atol=1e-6)
+
+
+def test_checkpoint_orbax_roundtrip(tmp_path):
+    import pytest as _pytest
+    _pytest.importorskip("orbax.checkpoint")
+    from raindrop_tpu.train.checkpoint import (
+        load_checkpoint_orbax, save_checkpoint_orbax)
+    cfg = dataset_config("PAM", max_len=8)
+    params = raindrop_init(jax.random.PRNGKey(1), cfg)
+    path = str(tmp_path / "orbax_ck")
+    save_checkpoint_orbax(path, params)
+    restored = load_checkpoint_orbax(path)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params, restored)
