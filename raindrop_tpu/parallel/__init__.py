@@ -1,3 +1,10 @@
+from raindrop_tpu.parallel.elastic import (  # noqa: F401
+    FaultInjector,
+    Heartbeat,
+    HeartbeatMonitor,
+    SimulatedFailure,
+    run_elastic,
+)
 from raindrop_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     replicated,

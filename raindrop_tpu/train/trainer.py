@@ -168,7 +168,8 @@ class Trainer:
     def train_split(self, split: Split, *, seed: Optional[int] = None,
                     log_file=None, checkpoint_path: Optional[str] = None,
                     resume_from: Optional[str] = None,
-                    verbose: bool = True) -> TrainResult:
+                    verbose: bool = True,
+                    on_epoch_end=None) -> TrainResult:
         """Run the full per-split protocol.
 
         checkpoint_path: best-val-AUROC params go to <path>.npz (like the
@@ -177,6 +178,10 @@ class Trainer:
         <path>_last.npz each epoch — something the reference cannot do
         (no mid-run resume, SURVEY.md §5.4). resume_from: a _last path to
         continue from exactly.
+
+        on_epoch_end: optional callable(epoch, record_dict) invoked after
+        the epoch's checkpoint is durable — the hook point for heartbeats
+        and fault injection (parallel/elastic.py).
         """
         cfg, tcfg = self.cfg, self.tcfg
         seed = tcfg.seed if seed is None else seed
@@ -269,6 +274,8 @@ class Trainer:
                           "best_auroc": best["auroc"],
                           "best_auprc": best["auprc"],
                           "history": history})
+            if on_epoch_end is not None:
+                on_epoch_end(epoch, rec)
 
         elapsed = time.time() - t0
         # --- test with the best params, softmax path (code/Raindrop.py:380-406)
