@@ -21,9 +21,23 @@ Conventions preserved (see SURVEY.md §2.1):
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import numpy as np
+
+
+def _native():
+    """The C++/OpenMP host runtime (native/raindrop_host.cpp), or None.
+
+    The numpy code below defines the semantics; the native module matches
+    it (bit-identical elementwise, ~1e-13 reductions) and takes over the
+    large-array loops. Disable with RAINDROP_TPU_NATIVE=0.
+    """
+    if os.environ.get("RAINDROP_TPU_NATIVE", "1") == "0":
+        return None
+    from raindrop_tpu import native
+    return native if native.available() else None
 
 # Static-feature categorical masks, reference code/utils_rd.py:184-192.
 STATIC_CATEGORICAL = {
@@ -38,6 +52,9 @@ def get_stats(P: np.ndarray, eps: float = 1e-7) -> Tuple[np.ndarray, np.ndarray]
 
     P: [N, T, F]. Returns (mf [F], stdf [F]); stdf floored at eps.
     """
+    nat = _native()
+    if nat is not None:
+        return nat.get_stats(P, eps)
     F = P.shape[-1]
     flat = P.reshape(-1, F)
     obs = flat > 0
@@ -51,6 +68,9 @@ def get_stats(P: np.ndarray, eps: float = 1e-7) -> Tuple[np.ndarray, np.ndarray]
 
 def mask_normalize(P: np.ndarray, mf: np.ndarray, stdf: np.ndarray) -> np.ndarray:
     """z-score, re-zero missing, concat mask -> [N, T, 2F] (code/utils_rd.py:164-175)."""
+    nat = _native()
+    if nat is not None and P.ndim == 3:
+        return nat.mask_normalize(P, np.asarray(mf), np.asarray(stdf))
     M = (P > 0).astype(P.dtype)
     Pn = (P - mf[None, None]) / (stdf[None, None] + 1e-18) * M
     return np.concatenate([Pn, M], axis=2)

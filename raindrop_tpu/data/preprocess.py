@@ -181,14 +181,18 @@ def sanity_check(root: str) -> dict:
 def grud_tensors(PTdict_list, stats=None):
     """Build GRU-D (x, mask, delta) tensors [N, 3, F, T]
     (reference GRU-D_data_preparation.py:55-200 df_to_x_m_d)."""
-    from raindrop_tpu.baselines.grud import build_delta
-    import jax.numpy as jnp
-
     arrs = np.stack([p["arr"] for p in PTdict_list])        # [N, T, F]
     times = np.stack([np.asarray(p["time"]).reshape(-1)
                       for p in PTdict_list]) / 60.0          # hours
     mask = (arrs > 0).astype(np.float32)
-    delta = np.asarray(build_delta(jnp.asarray(mask), jnp.asarray(times)))
+    from raindrop_tpu import native
+    if native.available():
+        delta = native.build_delta(mask, times)  # C++/OpenMP host kernel
+    else:
+        import jax.numpy as jnp
+
+        from raindrop_tpu.baselines.grud import build_delta
+        delta = np.asarray(build_delta(jnp.asarray(mask), jnp.asarray(times)))
     x = arrs.transpose(0, 2, 1)
     return np.stack([x, mask.transpose(0, 2, 1),
                      delta.transpose(0, 2, 1)], axis=1).astype(np.float32)

@@ -1,0 +1,147 @@
+"""ctypes bindings for the native host-side data runtime (native/).
+
+The device compute path is XLA/Pallas; the host-side hot loops of the data
+layer — per-sensor stats, mask-normalization, GRU-D delta construction,
+Setting-2 sensor zeroing — are implemented in C++/OpenMP
+(native/raindrop_host.cpp) and loaded here via ctypes. Everything degrades
+gracefully: `available()` is False when the shared library is absent and
+cannot be built (no compiler), and data/normalize.py falls back to its
+vectorized-numpy implementations, which define the semantics
+(reference code/utils_rd.py:149-257; GRU-D_data_preparation.py:55-200).
+
+Build on demand: `ensure_built()` invokes `make -C native` once per
+process; the resulting native/librdhost.so is cached on disk.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "librdhost.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+_i64 = ctypes.c_int64
+_f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+_f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+
+
+def ensure_built() -> bool:
+    """Build native/librdhost.so if missing. Returns success."""
+    if os.path.exists(_LIB_PATH):
+        return True
+    if not os.path.exists(os.path.join(_NATIVE_DIR, "raindrop_host.cpp")):
+        return False
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR],
+                       check=True, capture_output=True, timeout=120)
+        return os.path.exists(_LIB_PATH)
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not ensure_built():
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        lib.rd_abi_version.restype = ctypes.c_int
+        if lib.rd_abi_version() != 1:
+            return None
+        lib.rd_get_stats.argtypes = [_f64p, _i64, _i64, _f64p, _f64p,
+                                     ctypes.c_double]
+        lib.rd_mask_normalize.argtypes = [_f64p, _i64, _i64, _i64,
+                                          _f64p, _f64p, _f32p]
+        lib.rd_mask_normalize_static.argtypes = [_f64p, _i64, _i64,
+                                                 _f64p, _f64p, _f32p]
+        lib.rd_build_delta.argtypes = [_f32p, _f64p, _i64, _i64, _i64, _f32p]
+        lib.rd_zero_sensors.argtypes = [_f32p, _i64, _i64, _i64, _i64p, _i64]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def get_stats(P: np.ndarray, eps: float = 1e-7
+              ) -> Tuple[np.ndarray, np.ndarray]:
+    """Native getStats: per-sensor mean/std over positive entries.
+    P: [N, T, F] or [R, F]. Matches data/normalize.get_stats to ~1e-13."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    flat = np.ascontiguousarray(P.reshape(-1, P.shape[-1]), np.float64)
+    R, F = flat.shape
+    mf = np.empty(F, np.float64)
+    stdf = np.empty(F, np.float64)
+    lib.rd_get_stats(flat, R, F, mf, stdf, eps)
+    return mf, stdf
+
+
+def mask_normalize(P: np.ndarray, mf: np.ndarray, stdf: np.ndarray
+                   ) -> np.ndarray:
+    """Native mask_normalize -> [N, T, 2F] float32 (bit-identical to the
+    numpy path given the same stats)."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    P = np.ascontiguousarray(P, np.float64)
+    N, T, F = P.shape
+    out = np.empty((N, T, 2 * F), np.float32)
+    lib.rd_mask_normalize(P, N, T, F,
+                          np.ascontiguousarray(mf, np.float64),
+                          np.ascontiguousarray(stdf, np.float64), out)
+    return out
+
+
+def mask_normalize_static(Ps: np.ndarray, ms: np.ndarray, ss: np.ndarray
+                          ) -> np.ndarray:
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    Ps = np.ascontiguousarray(Ps, np.float64)
+    N, S = Ps.shape
+    out = np.empty((N, S), np.float32)
+    lib.rd_mask_normalize_static(Ps, N, S,
+                                 np.ascontiguousarray(ms, np.float64),
+                                 np.ascontiguousarray(ss, np.float64), out)
+    return out
+
+
+def build_delta(mask: np.ndarray, times: np.ndarray) -> np.ndarray:
+    """Native GRU-D delta: [N, T, F] float32."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    mask = np.ascontiguousarray(mask, np.float32)
+    N, T, F = mask.shape
+    times = np.ascontiguousarray(times, np.float64)
+    out = np.empty((N, T, F), np.float32)
+    lib.rd_build_delta(mask, times, N, T, F, out)
+    return out
+
+
+def zero_sensors(P: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """In-place Setting-2 sensor removal on [N, T, 2F] float32; returns P."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    assert P.dtype == np.float32 and P.flags.c_contiguous
+    N, T, F2 = P.shape
+    idx = np.ascontiguousarray(idx, np.int64)
+    lib.rd_zero_sensors(P, N, T, F2 // 2, idx, len(idx))
+    return P
