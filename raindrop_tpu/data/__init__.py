@@ -18,3 +18,9 @@ from raindrop_tpu.data.settings import (  # noqa: F401
     demographic_indices,
 )
 from raindrop_tpu.data.sampler import balanced_batches, n_batches_per_epoch  # noqa: F401
+from raindrop_tpu.data.collate import (  # noqa: F401
+    RaggedRecord,
+    data_min_max,
+    records_from_dense,
+    variable_time_collate,
+)
