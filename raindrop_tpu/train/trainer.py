@@ -109,15 +109,17 @@ class Trainer:
 
         donate = (0, 1)
         if self.mesh is not None:
-            from raindrop_tpu.parallel.mesh import shard_batch_spec, replicated
+            from raindrop_tpu.parallel.mesh import shard_batch_spec
             from jax.sharding import NamedSharding
 
-            rep = NamedSharding(self.mesh, replicated())
             data = NamedSharding(self.mesh, shard_batch_spec())
             self._batch_sharding = data
-            self._train_step = jax.jit(
-                train_step, donate_argnums=donate,
-                out_shardings=(rep, rep, rep, data))
+            # Params enter replicated (model=1) or Megatron-sharded over the
+            # 'model' axis (parallel.mesh.shard_params); their output
+            # shardings are inherited from the inputs so the same compiled
+            # step serves DP and DP+TP meshes. Gradient psum over 'data' and
+            # the TP all-reduces are inserted by XLA (GSPMD).
+            self._train_step = jax.jit(train_step, donate_argnums=donate)
             self._eval_step = jax.jit(eval_step, out_shardings=data)
         else:
             self._batch_sharding = None
@@ -191,10 +193,8 @@ class Trainer:
 
         params = self._init(init_key)
         if self._batch_sharding is not None:
-            from jax.sharding import NamedSharding
-            from raindrop_tpu.parallel.mesh import replicated
-            params = jax.device_put(
-                params, NamedSharding(self.mesh, replicated()))
+            from raindrop_tpu.parallel.mesh import shard_params
+            params = shard_params(self.mesh, params)
         opt_state = self.optimizer.init(params)
         scheduler = ReduceLROnPlateau(
             tcfg.learning_rate, factor=tcfg.plateau_factor,
