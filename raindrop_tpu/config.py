@@ -42,7 +42,13 @@ class RaindropConfig:
                                  # (reference leaves Observation_progation at
                                  # its default dropout=0., code/models_rd.py:243)
     init_range: float = 1e-10    # reference code/models_rd.py:272 encoder/emb init
-    dtype: str = "float32"       # compute dtype of the model forward
+    dtype: str = "float32"       # param storage dtype
+    # Mixed precision: cast params+activations to this dtype inside the
+    # forward (master weights / optimizer state stay in `dtype`). On TPU the
+    # MXU natively multiplies bfloat16 with float32 accumulation, so
+    # 'bfloat16' roughly doubles matmul throughput and halves HBM traffic.
+    # None => compute in `dtype` (the parity default).
+    compute_dtype: Optional[str] = None
     attention_backend: str = "auto"  # 'auto' | 'dense' | 'flash' (Pallas)
 
     @property

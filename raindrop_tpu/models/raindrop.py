@@ -102,6 +102,16 @@ def raindrop_apply(
     """Forward pass. Returns (logits [B, n_classes], distance scalar)."""
     F_, d_ob, T = cfg.d_inp, cfg.d_ob, cfg.max_len
     dtype = jnp.dtype(cfg.dtype)
+    if cfg.compute_dtype is not None and cfg.compute_dtype != cfg.dtype:
+        # Mixed precision: run the whole forward in compute_dtype (bf16 on
+        # TPU rides the MXU's native bf16xbf16->f32 path); master params
+        # stay in cfg.dtype, and the gradient of this cast casts back, so
+        # the optimizer state is full-precision.
+        compute = jnp.dtype(cfg.compute_dtype)
+        params = jax.tree.map(
+            lambda x: x.astype(compute) if jnp.issubdtype(x.dtype, jnp.floating)
+            else x, params)
+        dtype = compute
     if rng is None:
         rng = jax.random.PRNGKey(0)
     r_drop, r_prop1, r_prop2, r_trans = jax.random.split(rng, 4)
@@ -189,4 +199,8 @@ def raindrop_apply(
         emb = linear_apply(params["emb"], static.astype(dtype))
         pooled = jnp.concatenate([pooled, emb], axis=1)
     logits = mlp_apply(params["mlp_static"], pooled)
+    if cfg.compute_dtype is not None:
+        # loss/metrics in full precision regardless of the compute dtype
+        logits = logits.astype(jnp.dtype(cfg.dtype))
+        distance = distance.astype(jnp.dtype(cfg.dtype))
     return logits, distance
