@@ -19,6 +19,7 @@ it as the end-to-end system speedup, not a kernel comparison.
 import json
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -54,7 +55,7 @@ def bench_train_step(dataset="P19", batch_size=128, iters=20, warmup=3,
     opt = optax.adam(1e-4)
     opt_state = opt.init(params)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, key):
         def loss_fn(p):
             src = P.transpose(1, 0, 2)

@@ -194,5 +194,11 @@ def alpha_pairwise_distance(alpha_all: jnp.ndarray) -> jnp.ndarray:
     the reference — code/models_rd.py:345-346, code/Raindrop.py:319-322).
     alpha_all: [B, E].
     """
-    d2 = jnp.sum((alpha_all[:, None, :] - alpha_all[None, :, :]) ** 2, axis=-1)
-    return jnp.mean(jnp.sqrt(jnp.maximum(d2, 0.0)))
+    # Gram-matrix form: ||a-b||^2 = |a|^2 + |b|^2 - 2<a,b>. The naive
+    # broadcast materializes a [B, B, E] intermediate (~75 MB at B=128,
+    # E=F^2, and again in the backward pass); this form is one [B, B]
+    # MXU matmul. Accumulate in f32 even under bf16 compute.
+    a = alpha_all.astype(jnp.float32)
+    sq = jnp.sum(a * a, axis=-1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * (a @ a.T)
+    return jnp.mean(jnp.sqrt(jnp.maximum(d2, 0.0))).astype(alpha_all.dtype)
