@@ -122,6 +122,18 @@ def test_alpha_pairwise_distance():
     assert float(alpha_pairwise_distance(a)) == pytest.approx(2.5)
 
 
+def test_alpha_pairwise_distance_matches_naive_broadcast(rng_np):
+    # The Gram-matrix form must agree with the direct ||a_i - a_j|| mean
+    # (torch.cdist semantics, reference code/models_rd.py:345-346).
+    a = rng_np.normal(size=(16, 49)).astype(np.float32)
+    naive = np.mean(np.linalg.norm(a[:, None, :] - a[None, :, :], axis=-1))
+    got = float(alpha_pairwise_distance(jnp.asarray(a)))
+    assert got == pytest.approx(float(naive), rel=1e-5)
+    # identical rows -> exactly zero, no NaN from the sqrt at the diagonal
+    b = jnp.broadcast_to(jnp.asarray(a[0]), (8, a.shape[1]))
+    assert float(alpha_pairwise_distance(b)) == pytest.approx(0.0, abs=1e-5)
+
+
 def test_coo_jit_and_grad(rng_np):
     n, T, d_ob = 5, 8, 4
     params, in_ch = make_layer(n, T, d_ob, seed=4)
