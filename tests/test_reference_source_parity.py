@@ -1,0 +1,384 @@
+"""Parity against the ACTUAL reference sources.
+
+These tests import the unmodified reference files from /root/reference/code
+(via tests/reference_source.py + tests/pyg_shim.py) and compare them against
+raindrop_tpu with ported weights — a stronger oracle than the hand
+transcriptions in tests/torch_oracle.py / tests/torch_raindrop.py, because
+the torch side here IS the published code:
+
+  * Observation_progation.forward (code/Ob_propagation.py:94-132),
+    use_beta False and True, vs graph/propagate.py (COO and dense paths);
+  * TransformerConv.forward (code/transformer_conv.py:139-183) vs
+    graph/transformer_conv.py;
+  * Raindrop_v2.forward end-to-end (code/models_rd.py:278-387) vs
+    models/raindrop.py on the shipped P19 configuration;
+  * PositionalEncodingTF (code/models_rd.py:20-43) vs ops/pe.py;
+  * getStats / mask_normalize / getStats_static / mask_normalize_static /
+    tensorize_normalize / tensorize_normalize_other (code/utils_rd.py:149-257)
+    vs data/normalize.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from raindrop_tpu.config import dataset_config
+from raindrop_tpu.graph.propagate import (
+    ob_propagate_coo,
+    ob_propagate_dense_complete,
+    ob_propagation_init,
+)
+from raindrop_tpu.graph.structure import complete_graph_edges
+from raindrop_tpu.graph.transformer_conv import (
+    transformer_conv_apply,
+    transformer_conv_init,
+)
+from raindrop_tpu.models.raindrop import raindrop_apply, raindrop_init
+from raindrop_tpu.ops.pe import time_positional_encoding
+from raindrop_tpu.data import normalize as nz
+from tests import reference_source
+
+
+def _t(a):
+    return torch.tensor(np.asarray(a), dtype=torch.float32)
+
+
+def _load_linear(module, p):
+    module.weight.data = _t(p["w"])
+    if "b" in p and module.bias is not None:
+        module.bias.data = _t(p["b"])
+
+
+def _load_ob_propagation(layer, p):
+    """Port an ob_propagation_init pytree into the reference module."""
+    _load_linear(layer.lin_key, p["lin_key"])
+    _load_linear(layer.lin_query, p["lin_query"])
+    _load_linear(layer.lin_value, p["lin_value"])
+    _load_linear(layer.lin_skip, p["lin_skip"])
+    layer.weight.data = _t(p["weight"])
+    layer.bias.data = _t(p["bias"])
+    layer.nodewise_weights.data = _t(p["nodewise_weights"])
+    _load_linear(layer.increase_dim, p["increase_dim"])
+    layer.map_weights.data = _t(p["map_weights"])
+
+
+# --------------------------------------------------------------- conv layers
+
+
+@pytest.mark.parametrize("use_beta", [False, True])
+def test_ob_propagation_source_vs_jax(use_beta):
+    F_, T, d_ob, d_pe = 8, 12, 4, 16
+    in_ch = T * d_ob
+    Ob = reference_source.load("Ob_propagation").Observation_progation
+
+    params = ob_propagation_init(jax.random.PRNGKey(3), in_ch, in_ch, F_, d_ob)
+    layer = Ob(in_channels=in_ch, out_channels=in_ch, n_nodes=F_, ob_dim=d_ob)
+    _load_ob_propagation(layer, params)
+    layer.eval()
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(F_, in_ch)).astype(np.float32)
+    p_t = rng.normal(size=(T, d_pe)).astype(np.float32)
+    edge_index, _ = complete_graph_edges(F_)
+    edge_weights = rng.uniform(0.5, 1.5, size=(F_ * F_,)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out, (ref_ei, ref_alpha) = layer(
+            _t(x), p_t=_t(p_t), edge_index=torch.tensor(np.asarray(edge_index)),
+            edge_weights=_t(edge_weights), use_beta=use_beta,
+            edge_attr=None, return_attention_weights=True)
+
+    out, (ei, alpha) = ob_propagate_coo(
+        params, jnp.asarray(x), jnp.asarray(p_t), jnp.asarray(edge_index),
+        jnp.asarray(edge_weights), use_beta=use_beta, ob_dim=d_ob, n_nodes=F_)
+
+    np.testing.assert_allclose(np.asarray(out), ref_out.numpy(),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(alpha).reshape(-1),
+                               ref_alpha.numpy().reshape(-1),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ei), ref_ei.numpy())
+
+
+def test_ob_propagation_dense_path_vs_source():
+    """The batched dense-complete fast path equals the reference layer run
+    per sample (the shipped use_beta=False configuration)."""
+    F_, T, d_ob, B = 6, 10, 4, 3
+    in_ch = T * d_ob
+    Ob = reference_source.load("Ob_propagation").Observation_progation
+
+    params = ob_propagation_init(jax.random.PRNGKey(7), in_ch, in_ch, F_, d_ob)
+    layer = Ob(in_channels=in_ch, out_channels=in_ch, n_nodes=F_, ob_dim=d_ob)
+    _load_ob_propagation(layer, params)
+    layer.eval()
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(B, F_, in_ch)).astype(np.float32)
+    adj = rng.uniform(0.5, 1.5, size=(F_, F_)).astype(np.float32)
+    edge_index = np.stack(np.nonzero(np.ones((F_, F_))))  # torch.nonzero order
+    edge_weights = adj[edge_index[0], edge_index[1]]
+
+    out, alpha = ob_propagate_dense_complete(
+        params, jnp.asarray(x), jnp.asarray(adj))
+
+    p_t = torch.zeros(T, 16)
+    for b in range(B):
+        with torch.no_grad():
+            ref_out, (_, ref_alpha) = layer(
+                _t(x[b]), p_t=p_t, edge_index=torch.tensor(edge_index),
+                edge_weights=_t(edge_weights), use_beta=False,
+                edge_attr=None, return_attention_weights=True)
+        np.testing.assert_allclose(np.asarray(out[b]), ref_out.numpy(),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(alpha[b]),
+                                   ref_alpha.numpy().reshape(-1),
+                                   rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("heads,concat,beta,edge_dim", [
+    (1, True, False, None),
+    (2, True, True, None),
+    (2, False, False, 5),
+])
+def test_transformer_conv_source_vs_jax(heads, concat, beta, edge_dim):
+    n, in_ch, out_ch, E = 7, 12, 6, 30
+    TC = reference_source.load("transformer_conv").TransformerConv
+
+    params = transformer_conv_init(
+        jax.random.PRNGKey(11), in_ch, out_ch, heads=heads, concat=concat,
+        beta=beta, edge_dim=edge_dim)
+    layer = TC(in_ch, out_ch, heads=heads, concat=concat, beta=beta,
+               edge_dim=edge_dim)
+    _load_linear(layer.lin_key, params["lin_key"])
+    _load_linear(layer.lin_query, params["lin_query"])
+    _load_linear(layer.lin_value, params["lin_value"])
+    _load_linear(layer.lin_skip, params["lin_skip"])
+    if edge_dim is not None:
+        _load_linear(layer.lin_edge, params["lin_edge"])
+    if beta:
+        _load_linear(layer.lin_beta, params["lin_beta"])
+    layer.eval()
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(n, in_ch)).astype(np.float32)
+    edge_index = np.stack([rng.integers(0, n, E), rng.integers(0, n, E)])
+    edge_attr = (rng.normal(size=(E, edge_dim)).astype(np.float32)
+                 if edge_dim is not None else None)
+
+    # edge_weights override: with heads>1 the REFERENCE ITSELF crashes
+    # (alpha becomes [E, 1] then .view(-1, heads, 1) at
+    # code/transformer_conv.py:206 needs [E, heads]); it is only ever used
+    # with heads=1 (Raindrop v1, code/models_rd.py:87). Our JAX version
+    # broadcasts the override across heads instead, so compare the override
+    # path on heads=1 only.
+    weight_cases = [None] if heads > 1 else [
+        None, rng.uniform(0.1, 2.0, E).astype(np.float32)]
+    for edge_weights in weight_cases:
+        with torch.no_grad():
+            ref_out, (_, ref_alpha) = layer(
+                _t(x), torch.tensor(edge_index),
+                edge_weights=None if edge_weights is None else _t(edge_weights),
+                edge_attr=None if edge_attr is None else _t(edge_attr),
+                return_attention_weights=True)
+        out, (_, alpha) = transformer_conv_apply(
+            params, jnp.asarray(x), jnp.asarray(edge_index),
+            None if edge_weights is None else jnp.asarray(edge_weights),
+            None if edge_attr is None else jnp.asarray(edge_attr), n_nodes=n)
+        np.testing.assert_allclose(np.asarray(out), ref_out.numpy(),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(alpha), ref_alpha.numpy(),
+                                   rtol=1e-5, atol=1e-5)
+
+
+# ----------------------------------------------------------------- full model
+
+
+def _port_raindrop_to_reference(model, params, cfg):
+    model.R_u.data = _t(params["R_u"])
+    _load_linear(model.encoder, params["encoder"])
+    if cfg.static:
+        _load_linear(model.emb, params["emb"])
+    _load_ob_propagation(model.ob_propagation, params["ob_propagation"])
+    _load_ob_propagation(model.ob_propagation_layer2,
+                         params["ob_propagation_layer2"])
+    _load_linear(model.mlp_static[0], params["mlp_static"]["lin0"])
+    _load_linear(model.mlp_static[2], params["mlp_static"]["lin1"])
+    tp = params["transformer_encoder"]
+    for i, layer in enumerate(model.transformer_encoder.layers):
+        lp = tp[f"layer{i}"]
+        layer.self_attn.in_proj_weight.data = _t(lp["in_proj_w"])
+        layer.self_attn.in_proj_bias.data = _t(lp["in_proj_b"])
+        _load_linear(layer.self_attn.out_proj, lp["out_proj"])
+        _load_linear(layer.linear1, lp["lin1"])
+        _load_linear(layer.linear2, lp["lin2"])
+        layer.norm1.weight.data = _t(lp["ln1"]["scale"])
+        layer.norm1.bias.data = _t(lp["ln1"]["bias"])
+        layer.norm2.weight.data = _t(lp["ln2"]["scale"])
+        layer.norm2.bias.data = _t(lp["ln2"]["bias"])
+
+
+def test_raindrop_v2_full_forward_vs_source():
+    """End-to-end eval forward of the published Raindrop_v2 — the actual
+    reference source, per-sample loop and all — vs the batched JAX model,
+    on the shipped P19 configuration (code/Raindrop.py:120-127)."""
+    cfg = dataset_config("P19")
+    B, T, F_ = 4, cfg.max_len, cfg.d_inp
+    models_rd = reference_source.load("models_rd")
+
+    model = models_rd.Raindrop_v2(
+        d_inp=cfg.d_inp, d_model=cfg.d_model, nhead=cfg.nhead,
+        nhid=cfg.ffn_dim, nlayers=cfg.nlayers, dropout=cfg.dropout,
+        max_len=cfg.max_len, d_static=cfg.d_static, MAX=cfg.MAX,
+        aggreg="mean", n_classes=cfg.n_classes,
+        global_structure=torch.ones(F_, F_), sensor_wise_mask=False,
+        static=True)
+    params = raindrop_init(jax.random.PRNGKey(0), cfg)
+    _port_raindrop_to_reference(model, params, cfg)
+    model.eval()
+
+    rng = np.random.default_rng(4)
+    lengths = rng.integers(T // 2, T + 1, size=(B,))
+    tgrid = np.cumsum(rng.uniform(0.1, 1.0, size=(T, B)), 0).astype(np.float32)
+    times = np.where(np.arange(T)[:, None] < lengths[None, :], tgrid, 0.0)
+    obs = (rng.uniform(size=(T, B, F_)) > 0.6).astype(np.float32)
+    obs *= (times > 0)[:, :, None]
+    vals = rng.normal(size=(T, B, F_)).astype(np.float32) * obs
+    src = np.concatenate([vals, obs], axis=-1)
+    static = rng.normal(size=(B, cfg.d_static)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_logits, ref_distance, _ = model(
+            _t(src), _t(static), _t(times), torch.tensor(lengths))
+
+    logits, distance = raindrop_apply(
+        params, cfg, jnp.asarray(src), jnp.asarray(static),
+        jnp.asarray(times), jnp.asarray(lengths))
+
+    np.testing.assert_allclose(np.asarray(logits), ref_logits.numpy(),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(float(distance), float(ref_distance),
+                               rtol=1e-4, atol=1e-4)
+
+
+# -------------------------------------------------------- PE + data pipeline
+
+
+def test_positional_encoding_vs_source():
+    models_rd = reference_source.load("models_rd")
+    pe_mod = models_rd.PositionalEncodingTF(16, max_len=60, MAX=100)
+    times = np.cumsum(np.random.default_rng(5).uniform(0.1, 1.0, (60, 3)),
+                      0).astype(np.float32)
+    ref = pe_mod(torch.tensor(times)).numpy()
+    ours = np.asarray(time_positional_encoding(jnp.asarray(times), 16, 60))
+    np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-6)
+
+
+@pytest.fixture
+def np_compat_max(monkeypatch):
+    """numpy-1 compat: the reference floors std with
+    `np.max([stdf[f], eps])` (code/utils_rd.py:160) — a list of a 1-element
+    array and a scalar, which numpy>=2 rejects as ragged. Restore the
+    numpy-1 behavior while the reference getStats runs."""
+    orig_max = np.max
+
+    def compat_max(a, *args, **kwargs):
+        if isinstance(a, list):
+            a = np.concatenate([np.atleast_1d(np.asarray(x, float)) for x in a])
+        return orig_max(a, *args, **kwargs)
+
+    monkeypatch.setattr(np, "max", compat_max)
+
+
+def test_getstats_mask_normalize_vs_source(np_compat_max):
+    utils_rd = reference_source.load("utils_rd")
+    rng = np.random.default_rng(6)
+    P = rng.normal(1.0, 2.0, size=(40, 9, 5))
+    P[rng.uniform(size=P.shape) < 0.5] = 0.0
+
+    ref_mf, ref_stdf = utils_rd.getStats(P)
+    mf, stdf = nz.get_stats(P)
+    np.testing.assert_allclose(mf, ref_mf[:, 0], rtol=1e-12)
+    np.testing.assert_allclose(stdf, ref_stdf[:, 0], rtol=1e-12)
+
+    ref_norm = utils_rd.mask_normalize(P.copy(), ref_mf, ref_stdf)
+    # exact semantics on the pure-numpy path; the C++/OpenMP host runtime
+    # reassociates reductions, so allow float32-level slack when it's active
+    import os
+    os.environ["RAINDROP_TPU_NATIVE"] = "0"
+    try:
+        np.testing.assert_allclose(nz.mask_normalize(P, mf, stdf), ref_norm,
+                                   rtol=1e-10, atol=1e-12)
+    finally:
+        os.environ.pop("RAINDROP_TPU_NATIVE", None)
+    np.testing.assert_allclose(nz.mask_normalize(P, mf, stdf), ref_norm,
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_static_stats_vs_source():
+    utils_rd = reference_source.load("utils_rd")
+    rng = np.random.default_rng(7)
+    Ps = rng.normal(0.5, 1.0, size=(30, 9))
+
+    ref_ms, ref_ss = utils_rd.getStats_static(Ps, dataset="P12")
+    ms, ss = nz.get_stats_static(Ps, dataset="P12", compat=True)
+    np.testing.assert_allclose(ms, ref_ms[:, 0])
+    np.testing.assert_allclose(ss, ref_ss[:, 0])
+
+    ref_norm = utils_rd.mask_normalize_static(Ps.copy(), ref_ms, ref_ss)
+    ours = nz.mask_normalize_static(Ps, ms, ss)
+    np.testing.assert_allclose(ours, ref_norm, rtol=1e-10, atol=1e-12)
+
+
+def test_tensorize_normalize_vs_source(np_compat_max):
+    utils_rd = reference_source.load("utils_rd")
+    rng = np.random.default_rng(8)
+    N, T, F_, S = 12, 7, 4, 9
+    recs = []
+    for _ in range(N):
+        arr = rng.normal(1.0, 1.0, size=(T, F_))
+        arr[rng.uniform(size=arr.shape) < 0.5] = 0.0
+        recs.append({
+            "arr": arr,
+            "time": np.sort(rng.uniform(0, 48 * 60, size=(T, 1)), axis=0),
+            "extended_static": rng.normal(0.5, 1.0, size=(S,)),
+        })
+    y = rng.integers(0, 2, size=(N, 1))
+    mf, stdf = utils_rd.getStats(np.stack([r["arr"] for r in recs]))
+    ms, ss = utils_rd.getStats_static(
+        np.stack([r["extended_static"] for r in recs]), dataset="P12")
+
+    rP, rPs, rPt, ry = utils_rd.tensorize_normalize(recs, y, mf, stdf, ms, ss)
+
+    arrs = np.stack([r["arr"] for r in recs])
+    times = np.stack([r["time"][:, 0] for r in recs])
+    statics = np.stack([r["extended_static"] for r in recs])
+    P, Ps, Pt, yy = nz.tensorize_normalize(
+        arrs, times, statics, y, mf[:, 0], stdf[:, 0], ms[:, 0], ss[:, 0])
+
+    np.testing.assert_allclose(P, rP.numpy(), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(Ps, rPs.numpy(), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(Pt, rPt.numpy()[:, :, 0], rtol=1e-6)
+    np.testing.assert_array_equal(yy, ry.numpy())
+
+
+def test_tensorize_normalize_other_vs_source(np_compat_max):
+    utils_rd = reference_source.load("utils_rd")
+    rng = np.random.default_rng(9)
+    N, T, F_ = 10, 8, 5
+    P = rng.normal(1.0, 1.0, size=(N, T, F_))
+    P[rng.uniform(size=P.shape) < 0.6] = 0.0
+    y = rng.integers(0, 8, size=(N, 1))
+    mf, stdf = utils_rd.getStats(P)
+
+    rP, rPs, rPt, ry = utils_rd.tensorize_normalize_other(P.copy(), y, mf, stdf)
+    P2, Ps2, Pt2, y2 = nz.tensorize_normalize_no_static(P, y, mf[:, 0], stdf[:, 0])
+
+    assert rPs is None and Ps2 is None
+    np.testing.assert_allclose(P2, rP.numpy(), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(Pt2, rPt.numpy()[:, :, 0], rtol=1e-6)
+    np.testing.assert_array_equal(y2, ry.numpy())
