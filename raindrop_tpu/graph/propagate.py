@@ -115,6 +115,7 @@ def ob_propagate_coo(
     dropout_rate: float = 0.0,
     rng=None,
     train: bool = False,
+    decompose: bool = False,
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     """One propagation step over an explicit edge list.
 
@@ -122,6 +123,12 @@ def ob_propagate_coo(
     PRE-softmax attention (code/Ob_propagation.py:190-193): shape [E, 1] when
     use_beta=False (== edge_weights), or [E//2] mean-gamma when use_beta=True.
     With use_beta=True, edge_index' is the pruned [2, E//2] edge list.
+
+    decompose=True switches the message transform to the reference's dormant
+    nodewise-decomposition branch (code/Ob_propagation.py:198-206, a
+    hard-coded `decompose = False` there): message = x_i @ outer(nw[src],
+    nw[tgt]). The bmm of [E, D, 1] x [E, 1, D] rank-1 factors collapses to
+    (x_i . nw[src]) * nw[tgt] — no [E, D, D] intermediate.
     """
     if n_nodes is None:
         n_nodes = x.shape[0]
@@ -146,9 +153,52 @@ def ob_propagate_coo(
 
     g = segment_softmax(gamma, agg_index, n_nodes)
     g = _dropout(rng, g, dropout_rate, train)
-    msg = jax.nn.relu(linear_apply(params["lin_value"], x_tgt))
+    if decompose:
+        nw = params["nodewise_weights"]
+        # (x_i @ (nw_src nw_tgt^T)) == (x_i . nw_src) nw_tgt  (rank-1)
+        msg = jnp.sum(x_tgt * nw[edge_index[0]], axis=-1, keepdims=True) \
+            * nw[edge_index[1]]
+    else:
+        msg = jax.nn.relu(linear_apply(params["lin_value"], x_tgt))
     msg = msg * g  # [E, D] * ([E, 1] or [E, D])
     out = segment_sum(msg, agg_index, n_nodes)
+    return out, (edge_index, alpha)
+
+
+def ob_propagate_selfattention(
+    params,
+    x: jnp.ndarray,              # [n_nodes, D]
+    edge_index: jnp.ndarray,     # [2, E]
+    edge_weights: Optional[jnp.ndarray] = None,  # [E] overrides Q.K when given
+    *,
+    heads: int = 1,
+    n_nodes: Optional[int] = None,
+    dropout_rate: float = 0.0,
+    rng=None,
+    train: bool = False,
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """The reference's dormant dot-product attention message path
+    (`message_selfattention`, code/Ob_propagation.py:134-155 — defined but
+    never dispatched). Standard graph attention: alpha = (Q(x_i) . K(x_j)) /
+    sqrt(C) per head (overridden by edge_weights when given), segment-softmax
+    over incoming edges, messages = V(x_j) * alpha, scatter-add by target.
+    Returns (out [n_nodes, heads*C], (edge_index, alpha POST-softmax)).
+    """
+    if n_nodes is None:
+        n_nodes = x.shape[0]
+    src, dst = edge_index[0], edge_index[1]
+    D = params["lin_query"]["w"].shape[0]
+    C = D // heads
+    q = linear_apply(params["lin_query"], x[dst]).reshape(-1, heads, C)
+    k = linear_apply(params["lin_key"], x[src]).reshape(-1, heads, C)
+    alpha = jnp.sum(q * k, axis=-1) / math.sqrt(C)            # [E, H]
+    if edge_weights is not None:
+        alpha = jnp.broadcast_to(edge_weights[:, None], alpha.shape)
+    alpha = segment_softmax(alpha, dst, n_nodes)
+    a = _dropout(rng, alpha, dropout_rate, train)
+    msg = linear_apply(params["lin_value"], x[src]).reshape(-1, heads, C)
+    msg = msg * a[:, :, None]
+    out = segment_sum(msg.reshape(-1, heads * C), dst, n_nodes)
     return out, (edge_index, alpha)
 
 

@@ -113,6 +113,31 @@ def multihead_self_attention(
     return linear_apply(p["out_proj"], out)
 
 
+def transformer_encoder_layer_apply(
+    p,
+    x: jnp.ndarray,                # [B, T, d]
+    key_padding_mask: Optional[jnp.ndarray],  # [B, T] True = padded
+    nhead: int,
+    dropout_rate: float = 0.0,
+    rngs=None,                     # 4 keys (attn, post-attn, ffn, post-ffn)
+    train: bool = False,
+    backend: str = "auto",
+) -> jnp.ndarray:
+    """One post-LN encoder layer (torch TransformerEncoderLayer semantics).
+
+    Factored out of the encoder loop so pipeline parallelism
+    (parallel/pipeline.py) can run each layer as a pipeline stage.
+    """
+    r = rngs if rngs is not None else [None] * 4
+    attn = multihead_self_attention(
+        p, x, key_padding_mask, nhead, dropout_rate, r[0], train, backend)
+    x = _layer_norm(p["ln1"], x + _dropout(r[1], attn, dropout_rate, train))
+    h = jax.nn.relu(linear_apply(p["lin1"], x))
+    h = _dropout(r[2], h, dropout_rate, train)
+    h = linear_apply(p["lin2"], h)
+    return _layer_norm(p["ln2"], x + _dropout(r[3], h, dropout_rate, train))
+
+
 def transformer_encoder_apply(
     params,
     x: jnp.ndarray,                # [B, T, d]
@@ -127,13 +152,7 @@ def transformer_encoder_apply(
     rngs = (jax.random.split(rng, 4 * num_layers)
             if (train and rng is not None) else [None] * (4 * num_layers))
     for i in range(num_layers):
-        p = params[f"layer{i}"]
-        r = rngs[4 * i: 4 * i + 4]
-        attn = multihead_self_attention(
-            p, x, key_padding_mask, nhead, dropout_rate, r[0], train, backend)
-        x = _layer_norm(p["ln1"], x + _dropout(r[1], attn, dropout_rate, train))
-        h = jax.nn.relu(linear_apply(p["lin1"], x))
-        h = _dropout(r[2], h, dropout_rate, train)
-        h = linear_apply(p["lin2"], h)
-        x = _layer_norm(p["ln2"], x + _dropout(r[3], h, dropout_rate, train))
+        x = transformer_encoder_layer_apply(
+            params[f"layer{i}"], x, key_padding_mask, nhead, dropout_rate,
+            rngs[4 * i: 4 * i + 4], train, backend)
     return x

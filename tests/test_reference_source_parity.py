@@ -70,6 +70,78 @@ def _load_ob_propagation(layer, p):
 # --------------------------------------------------------------- conv layers
 
 
+def test_ob_propagation_selfattention_source_vs_jax():
+    """The reference's dormant `message_selfattention` path
+    (code/Ob_propagation.py:134-155): invoke the real method directly with a
+    hand-built gather, aggregate with scatter-add, compare to
+    ob_propagate_selfattention."""
+    from raindrop_tpu.graph.propagate import ob_propagate_selfattention
+    from tests import pyg_shim
+
+    F_, T, d_ob = 8, 12, 4
+    in_ch = T * d_ob
+    Ob = reference_source.load("Ob_propagation").Observation_progation
+    params = ob_propagation_init(jax.random.PRNGKey(5), in_ch, in_ch, F_, d_ob)
+    layer = Ob(in_channels=in_ch, out_channels=in_ch, n_nodes=F_, ob_dim=d_ob)
+    _load_ob_propagation(layer, params)
+    layer.eval()
+
+    rng = np.random.default_rng(10)
+    x = rng.normal(size=(F_, in_ch)).astype(np.float32)
+    edge_index, _ = complete_graph_edges(F_)
+    ei = torch.tensor(np.asarray(edge_index))
+    xt = _t(x)
+
+    for edge_weights in (None, rng.uniform(0.2, 2.0, F_ * F_).astype(np.float32)):
+        with torch.no_grad():
+            msgs = layer.message_selfattention(
+                x_i=xt[ei[1]], x_j=xt[ei[0]],
+                edge_weights=None if edge_weights is None else _t(edge_weights),
+                edge_attr=None, index=ei[1], ptr=None, size_i=F_)
+            ref_alpha = layer._alpha
+            ref_out = pyg_shim.scatter(
+                msgs.reshape(-1, in_ch), ei[1], dim=0, dim_size=F_)
+
+        out, (_, alpha) = ob_propagate_selfattention(
+            params, jnp.asarray(x), jnp.asarray(edge_index),
+            None if edge_weights is None else jnp.asarray(edge_weights),
+            n_nodes=F_)
+        np.testing.assert_allclose(np.asarray(out), ref_out.numpy(),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(alpha), ref_alpha.numpy(),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_ob_propagation_decompose_matches_bmm_form():
+    """The reference's dormant decompose branch (code/Ob_propagation.py:
+    198-206, hard-coded off) computes bmm(x_i, bmm(w1, w2)); our rank-1
+    collapse must equal the literal bmm transcription."""
+    F_, T, d_ob = 6, 10, 4
+    in_ch = T * d_ob
+    params = ob_propagation_init(jax.random.PRNGKey(6), in_ch, in_ch, F_, d_ob)
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(F_, in_ch)).astype(np.float32)
+    edge_index, edge_weights = complete_graph_edges(F_)
+
+    out, (_, alpha) = ob_propagate_coo(
+        params, jnp.asarray(x), jnp.zeros((T, 16), jnp.float32),
+        jnp.asarray(edge_index), jnp.asarray(edge_weights, jnp.float32),
+        decompose=True, ob_dim=d_ob, n_nodes=F_)
+
+    # literal transcription of the reference branch (heads=1)
+    xt = _t(x)
+    ei = torch.tensor(np.asarray(edge_index))
+    nw = _t(params["nodewise_weights"])
+    w1 = nw[ei[0]].unsqueeze(-1)                       # [E, D, 1]
+    w2 = nw[ei[1]].unsqueeze(1)                        # [E, 1, D]
+    msgs = torch.bmm(xt[ei[1]].view(-1, 1, in_ch), torch.bmm(w1, w2))
+    gamma = torch.softmax(_t(np.asarray(edge_weights)).reshape(F_, F_), dim=0)
+    msgs = msgs.view(-1, in_ch) * gamma.reshape(-1, 1)
+    expect = torch.zeros(F_, in_ch).index_add_(0, ei[1], msgs)
+    np.testing.assert_allclose(np.asarray(out), expect.numpy(),
+                               rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("use_beta", [False, True])
 def test_ob_propagation_source_vs_jax(use_beta):
     F_, T, d_ob, d_pe = 8, 12, 4, 16

@@ -1,0 +1,103 @@
+"""Inference serving tier (raindrop_tpu/serve.py)."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from raindrop_tpu.config import dataset_config
+from raindrop_tpu.models.raindrop import raindrop_apply, raindrop_init
+from raindrop_tpu.serve import InferenceServer, make_http_server
+
+
+@pytest.fixture(scope="module")
+def small():
+    cfg = dataset_config("P19", max_len=8)
+    params = raindrop_init(jax.random.PRNGKey(0), cfg)
+    server = InferenceServer(cfg, params, buckets=(2, 4))
+    return cfg, params, server
+
+
+def _request(cfg, n, seed=0):
+    rng = np.random.default_rng(seed)
+    T, F = cfg.max_len, cfg.d_inp
+    mask = (rng.uniform(size=(n, T, F)) > 0.5).astype(np.float32)
+    P = np.concatenate(
+        [rng.normal(size=(n, T, F)).astype(np.float32) * mask, mask], -1)
+    times = np.cumsum(rng.uniform(0.1, 1.0, size=(n, T)), 1).astype(np.float32)
+    static = rng.normal(size=(n, cfg.d_static)).astype(np.float32)
+    return P, times, static
+
+
+def _direct(cfg, params, P, times, static):
+    logits, _ = raindrop_apply(
+        params, cfg, jnp.asarray(P).transpose(1, 0, 2), jnp.asarray(static),
+        jnp.asarray(times).transpose(1, 0),
+        jnp.sum(jnp.asarray(times) > 0, axis=1))
+    return np.asarray(jax.nn.softmax(logits, -1))
+
+
+@pytest.mark.parametrize("n", [1, 3, 4, 7])
+def test_padded_buckets_match_direct(small, n):
+    cfg, params, server = small
+    P, times, static = _request(cfg, n, seed=n)
+    probs = server.predict(P, times, static)
+    assert probs.shape == (n, cfg.n_classes)
+    np.testing.assert_allclose(probs, _direct(cfg, params, P, times, static),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_precompiled_buckets(small):
+    _, _, server = small
+    h = server.health()
+    assert h["status"] == "ok"
+    assert h["compiled"] == [2, 4]
+    assert h["requests"] >= 0
+
+
+def test_static_required(small):
+    cfg, _, server = small
+    P, times, _ = _request(cfg, 2)
+    with pytest.raises(ValueError, match="static"):
+        server.predict(P, times, None)
+
+
+def test_no_static_model():
+    cfg = dataset_config("PAM", max_len=8)
+    params = raindrop_init(jax.random.PRNGKey(1), cfg)
+    server = InferenceServer(cfg, params, buckets=(2,))
+    P, times, _ = _request(cfg, 2)
+    probs = server.predict(P, times, None)
+    assert probs.shape == (2, cfg.n_classes)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-5)
+
+
+def test_http_endpoint(small):
+    cfg, params, server = small
+    httpd = make_http_server(server, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=10) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok"
+
+        P, times, static = _request(cfg, 3, seed=9)
+        body = json.dumps({"P": P.tolist(), "times": times.tolist(),
+                           "static": static.tolist()}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=30) as r:
+            probs = np.asarray(json.loads(r.read())["probs"], np.float32)
+        np.testing.assert_allclose(
+            probs, _direct(cfg, params, P, times, static), rtol=1e-4, atol=1e-5)
+    finally:
+        httpd.shutdown()
