@@ -11,8 +11,9 @@ TPU-first differences from the reference driver:
     params/opt-state — no per-batch H2D sync of the whole split
     (the reference re-.cuda()s every slice, code/Raindrop.py:310-315);
   * static batch shapes: eval pads the ragged tail chunk instead of
-    recompiling (the reference's tail chunk also reuses a stale static
-    slice — code/utils_rd.py:303 — a bug we do NOT reproduce);
+    recompiling (the reference's tail chunk slices statics with
+    start:start+batch_size — code/utils_rd.py:303 — which CLAMPS to the
+    same rem rows, so behavior is identical);
   * optional data-parallel mesh: batches sharded over the 'data' axis via
     NamedSharding; gradients are averaged by XLA psum under jit.
   * throughput counters (samples/s, edges/s) and JSONL structured logs
@@ -141,8 +142,9 @@ class Trainer:
     def predict(self, params, P, time, static, batch_size: int = 100) -> np.ndarray:
         """Chunked inference with a padded tail (static shapes, 2 compiles max).
 
-        Reference equivalent: utils_rd.evaluate (code/utils_rd.py:276-307),
-        minus its stale-tail-static bug.
+        Reference equivalent: utils_rd.evaluate (code/utils_rd.py:276-307).
+        (Its tail chunk slices statics with start:start+batch_size, which
+        clamps to the same rem rows — same results.)
         """
         N = P.shape[0]
         if self.mesh is not None:
