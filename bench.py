@@ -55,8 +55,7 @@ def bench_train_step(dataset="P19", batch_size=128, iters=20, warmup=3,
     opt = optax.adam(1e-4)
     opt_state = opt.init(params)
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, key):
+    def one_step(params, opt_state, key):
         def loss_fn(p):
             src = P.transpose(1, 0, 2)
             tm = times.transpose(1, 0)
@@ -68,6 +67,21 @@ def bench_train_step(dataset="P19", batch_size=128, iters=20, warmup=3,
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
+
+    step = jax.jit(one_step, donate_argnums=(0, 1))
+
+    # The Trainer's production path: a whole chunk of steps in ONE scanned
+    # dispatch (train/trainer.py train_epoch). Dispatch overhead is ~1.7 ms
+    # per step at these shapes, so this is the honest steady-state number.
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step_scan(params, opt_state, key):
+        def body(carry, k):
+            p, o = carry
+            p, o, loss = one_step(p, o, k)
+            return (p, o), loss
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), jax.random.split(key, iters))
+        return params, opt_state, losses[-1]
 
     @jax.jit
     def eval_step(params):
@@ -88,7 +102,20 @@ def bench_train_step(dataset="P19", batch_size=128, iters=20, warmup=3,
         key, k = jax.random.split(key)
         params, opt_state, loss = step(params, opt_state, k)
     jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
+    dt_dispatch = time.perf_counter() - t0
+
+    # scanned path: warmup one call (compile), then time `rounds` calls of
+    # `iters` steps each
+    key, k = jax.random.split(key)
+    params, opt_state, loss = step_scan(params, opt_state, k)
+    jax.block_until_ready(loss)
+    rounds = 4
+    t0 = time.perf_counter()
+    for _ in range(rounds):
+        key, k = jax.random.split(key)
+        params, opt_state, loss = step_scan(params, opt_state, k)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / rounds
 
     jax.block_until_ready(eval_step(params))
     t1 = time.perf_counter()
@@ -105,6 +132,7 @@ def bench_train_step(dataset="P19", batch_size=128, iters=20, warmup=3,
         "eval_samples_per_sec": iters * B / dt_eval,
         "edges_per_sec": edges_per_sec,
         "step_ms": 1000.0 * dt / iters,
+        "dispatched_step_ms": 1000.0 * dt_dispatch / iters,
         "loss": float(loss),
         "backend": jax.default_backend(),
     }
@@ -156,6 +184,7 @@ if __name__ == "__main__":
         "eval_samples_per_sec": round(r["eval_samples_per_sec"], 2),
         "edges_per_sec": round(r["edges_per_sec"]),
         "step_ms": round(r["step_ms"], 3),
+        "dispatched_step_ms": round(r["dispatched_step_ms"], 3),
         "bf16_b1024_samples_per_sec": big_sps,
         "backend": r["backend"],
     }))

@@ -115,6 +115,10 @@ class TrainConfig:
     missing_ratio: float = 0.0
     predictive_label: str = "mortality"   # 'mortality' | 'LoS' (P12 only)
     seed: int = 1
+    # Single-device epochs run as ONE lax.scan dispatch with on-device batch
+    # gathering (~2.6x per-step at Raindrop shapes; see Trainer). Off => the
+    # per-step dispatch path (always used under a sharded mesh).
+    scan_epoch: bool = True
     checkpoint_dir: str = "checkpoints"
     log_path: Optional[str] = None        # JSONL log file
     # weight on the model's aux output in the train loss (IP-Net uses its

@@ -125,3 +125,33 @@ def test_checkpoint_orbax_roundtrip(tmp_path):
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
         params, restored)
+
+
+def test_scan_epoch_matches_per_step_path():
+    """With dropout disabled the scanned-epoch dispatch (train_epoch in
+    Trainer._build) must produce EXACTLY the same training trajectory as the
+    per-step path: same host RNG -> same batch order, and the step math is
+    key-independent at dropout 0."""
+    cfg = dataset_config("PAM", max_len=16, dropout=0.0, prop_dropout=0.0)
+    split = synthetic_split("PAM", n=160, seed=0, T=16)
+
+    results = {}
+    for scan in (True, False):
+        tcfg = TrainConfig(dataset="PAM", num_epochs=2, learning_rate=1e-3,
+                           batch_size=32, batching_strategy=3,
+                           n_batches_strategy3=4, seed=0, scan_epoch=scan)
+        res = Trainer(cfg, tcfg).train_split(split, verbose=False)
+        results[scan] = res
+
+    a, b = results[True], results[False]
+    for ra, rb in zip(a.history, b.history):
+        np.testing.assert_allclose(ra["train_loss"], rb["train_loss"],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(ra["val_auroc"], rb["val_auroc"],
+                                   rtol=1e-6)
+    # the scanned and dispatched programs fuse differently, so allow
+    # float32-accumulation drift in the final params
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=1e-3, atol=1e-4),
+        a.params, b.params)
