@@ -185,10 +185,38 @@ def install():
     if "torch_geometric" in sys.modules:
         return
 
+    class GINConv(torch.nn.Module):  # imported by baselines/models.py:17,
+        def __init__(self, *a, **k):  # never instantiated on tested paths
+            raise NotImplementedError("GINConv shim is import-only")
+
+    def global_add_pool(*a, **k):
+        raise NotImplementedError("global_add_pool shim is import-only")
+
+    def odeint(func, y0, t, rtol=None, atol=None, method=None, options=None):
+        """torchdiffeq.odeint for the solvers the reference requests:
+        fixed-grid euler (DGM2, baselines/DGM2_baseline.py:310) and rk4."""
+        ys = [y0]
+        y = y0
+        for i in range(len(t) - 1):
+            t0, dt = t[i], t[i + 1] - t[i]
+            if method == "rk4":
+                k1 = func(t0, y)
+                k2 = func(t0 + dt / 2, y + dt / 2 * k1)
+                k3 = func(t0 + dt / 2, y + dt / 2 * k2)
+                k4 = func(t0 + dt, y + dt * k3)
+                y = y + dt / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+            else:  # euler (the reference's configured method)
+                y = y + dt * func(t0, y)
+            ys.append(y)
+        return torch.stack(ys)
+
     tg = _module("torch_geometric")
     tg_nn = _module("torch_geometric.nn")
     tg.nn = tg_nn
     tg_nn.conv = _module("torch_geometric.nn.conv", MessagePassing=MessagePassing)
+    tg_nn.GINConv = GINConv
+    tg_nn.global_add_pool = global_add_pool
+    _module("torchdiffeq", odeint=odeint)
     tg_nn.inits = _module(
         "torch_geometric.nn.inits",
         uniform=uniform, glorot=glorot, zeros=zeros, ones=ones, reset=reset)
