@@ -21,6 +21,14 @@ pruned, or custom) graph structures at batch scale.
 Both kernels assume a shared edge topology across the batch (the Raindrop
 regime: one global sensor graph — reference code/Raindrop.py:212) and a
 scalar weight per edge (the shipped use_beta=False path).
+
+Precision: every one-hot dot runs at Precision.HIGHEST. The MXU's default
+f32 path truncates operands to bf16, which made even the pure gather lossy
+(max rel err ~1e-2 measured on v5e); at HIGHEST the kernel matches the XLA
+segment-op oracle to 2e-6 abs at P19 scale (B=128, N=34, E=1156, D=240),
+costing 1.64 ms vs 1.00 ms truncated — and vs 1.52 ms for the XLA segment
+path, which is why the XLA path (and the dense complete-graph formulation)
+stay the defaults at these sizes.
 """
 
 from __future__ import annotations
@@ -60,20 +68,23 @@ def _spmm_kernel(src_ref, dst_ref, x_ref, gamma_ref, use_x_target_ref,
     gather_oh = jax.lax.select(use_x_target_ref[0] > 0, oh_dst, oh_src)
 
     g = gamma_ref[0, 0, :]                              # [E]
+    # All one-hot dots run at Precision.HIGHEST: the MXU's DEFAULT truncates
+    # f32 operands to bf16, which would make even the pure GATHER lossy
+    # (~1e-2 rel err measured) — a gather/scatter must be exact.
+    hi = functools.partial(jnp.dot, precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
     # segment max over dst: [N] = max_e dst_e==n ? g_e : -inf
     masked = jnp.where(oh_dst.T > 0, g[None, :], NEG_INF)   # [N, E]
     seg_max = jnp.max(masked, axis=1)                   # [N]
-    edge_max = oh_dst @ seg_max[:, None]                # [E, 1] gather via MXU
+    edge_max = hi(oh_dst, seg_max[:, None])             # [E, 1] gather via MXU
     ex = jnp.exp(g[:, None] - edge_max)                 # [E, 1]
-    denom = oh_dst.T @ ex                               # [N, 1]
+    denom = hi(oh_dst.T, ex)                            # [N, 1]
     denom = jnp.where(denom == 0.0, 1.0, denom)
-    edge_den = oh_dst @ denom                           # [E, 1]
+    edge_den = hi(oh_dst, denom)                        # [E, 1]
     w = ex / edge_den                                   # [E, 1] softmaxed
 
-    gathered = jnp.dot(gather_oh, x_ref[0],
-                       preferred_element_type=jnp.float32)  # [E, D]
-    out_ref[0] = jnp.dot(oh_dst.T, gathered * w,
-                         preferred_element_type=jnp.float32)  # [N, D]
+    gathered = hi(gather_oh, x_ref[0])                  # [E, D]
+    out_ref[0] = hi(oh_dst.T, gathered * w)             # [N, D]
     wout_ref[0, 0, :] = w[:, 0]
 
 
@@ -178,8 +189,10 @@ def _sddmm_kernel(src_ref, dst_ref, q_ref, k_ref, alpha_ref, *,
     E, N = n_edges, n_nodes
     oh_src = _onehot(src_ref[:], N, E)
     oh_dst = _onehot(dst_ref[:], N, E)
-    qe = jnp.dot(oh_dst, q_ref[0], preferred_element_type=jnp.float32)
-    ke = jnp.dot(oh_src, k_ref[0], preferred_element_type=jnp.float32)
+    qe = jnp.dot(oh_dst, q_ref[0], precision=jax.lax.Precision.HIGHEST,
+                 preferred_element_type=jnp.float32)
+    ke = jnp.dot(oh_src, k_ref[0], precision=jax.lax.Precision.HIGHEST,
+                 preferred_element_type=jnp.float32)
     alpha_ref[0, 0, :] = jnp.sum(qe * ke, axis=-1) * scale
 
 
