@@ -33,12 +33,15 @@ from raindrop_tpu.nn.linear import linear_apply
 
 
 def dgm2_init(key, input_dim: int, seq_len: int, n_classes: int, *,
-              latent_dim: int = 10, cluster_num: int = 20, d_static: int = 0):
+              latent_dim: int = 10, cluster_num: int = 20, d_static: int = 0,
+              ode_units: int = 10):
     k = jax.random.split(key, 8)
     return {
-        # ODE func net: create_net(10, 10) = Linear(10, 10) stack w/ tanh
-        "ode_l1": torch_linear_params(k[0], latent_dim, 100),
-        "ode_l2": torch_linear_params(k[1], 100, latent_dim),
+        # ODE func net: create_net(10, 10) = Linear(10, 10) > Tanh >
+        # Linear(10, 10) — n_units defaults to 10 in the driver's config
+        # (DGM2_baseline.py:74-84, :305-308)
+        "ode_l1": torch_linear_params(k[0], latent_dim, ode_units),
+        "ode_l2": torch_linear_params(k[1], ode_units, latent_dim),
         # GRU_unit_cluster gates (models.py:985-1053), use_mask=False
         "update_gate": torch_linear_params(k[2], latent_dim + input_dim, latent_dim),
         "reset_gate": torch_linear_params(k[3], latent_dim + input_dim, latent_dim),

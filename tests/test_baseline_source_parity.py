@@ -9,6 +9,8 @@ and are compared against raindrop_tpu's baselines with ported weights:
   * SEFT (models.py:219-334, per-sample nonzero loop) vs baselines/seft.py
   * GRUD (models.py:337-655, diagonal decay-gated GRU) vs baselines/grud.py
   * enc_mtan_classif (mTAND/models.py:54-109) vs baselines/mtand.py
+  * MTGNN (models.py:836-979 + layer.py) vs baselines/mtgnn.py
+  * DGM2_O (models.py:983-1462, euler ODE-RNN) vs baselines/dgm2.py
 """
 
 from __future__ import annotations
@@ -178,3 +180,137 @@ def test_mtand_source_vs_jax():
     got, _ = mtand_apply(params, jnp.asarray(x), jnp.asarray(times))
     np.testing.assert_allclose(np.asarray(got), expect.numpy(),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_mtgnn_source_vs_jax():
+    from raindrop_tpu.baselines.mtgnn import mtgnn_apply, mtgnn_init
+
+    models = reference_source.load("models")
+    N, T, S, layers = 6, 20, 4, 2
+    # subgraph_size == N so the reference's rand-noise topk tie-break
+    # (layer.py:183-185) selects every edge on both sides
+    params = mtgnn_init(jax.random.PRNGKey(5), N, T, 2, d_static=S,
+                        layers=layers, subgraph_size=N, node_dim=T)
+    ref = models.MTGNN(True, True, 2, N, torch.device("cpu"),
+                       num_static_features=S, node_dim=T, subgraph_size=N,
+                       dilation_exponential=2, conv_channels=16,
+                       residual_channels=16, skip_channels=32,
+                       end_channels=64, seq_length=T, in_dim=1, out_dim=1,
+                       layers=layers, layer_norm_affline=False)
+
+    gc = params["gc"]
+    ref.gc.emb1.weight.data = _t(gc["emb1"])
+    ref.gc.emb2.weight.data = _t(gc["emb2"])
+    ref.gc.lin1.weight.data = _t(gc["lin1"]["w"][:, :, 0, 0])
+    ref.gc.lin1.bias.data = _t(gc["lin1"]["b"])
+    ref.gc.lin2.weight.data = _t(gc["lin2"]["w"][:, :, 0, 0])
+    ref.gc.lin2.bias.data = _t(gc["lin2"]["b"])
+
+    def load_conv(conv, p):
+        conv.weight.data = _t(p["w"])
+        conv.bias.data = _t(p["b"])
+
+    load_conv(ref.start_conv, params["start_conv"])
+    load_conv(ref.skip0, params["skip0"])
+    load_conv(ref.skipE, params["skipE"])
+    load_conv(ref.end_conv_1, params["end1"])
+    load_conv(ref.end_conv_2, params["end2"])
+    for i, lp in enumerate(params["layers"]):
+        for j in range(4):
+            load_conv(ref.filter_convs[i].tconv[j], lp["filter"][j])
+            load_conv(ref.gate_convs[i].tconv[j], lp["gate"][j])
+        load_conv(ref.skip_convs[i], lp["skip"])
+        load_conv(ref.gconv1[i].mlp.mlp, lp["gconv1_mlp"])
+        load_conv(ref.gconv2[i].mlp.mlp, lp["gconv2_mlp"])
+    ref.mlp_2.weight.data = _t(params["mlp_out"]["w"])
+    ref.mlp_2.bias.data = _t(params["mlp_out"]["b"])
+    ref.eval()
+
+    rng = np.random.default_rng(6)
+    vals = rng.normal(size=(3, T, N)).astype(np.float32)
+    static = rng.normal(size=(3, S)).astype(np.float32)
+
+    with torch.no_grad():
+        expect = ref(_t(vals).permute(0, 2, 1)[:, None], _t(static))
+    got, _ = mtgnn_apply(params, jnp.asarray(vals), jnp.asarray(static))
+    np.testing.assert_allclose(np.asarray(got), expect.numpy(),
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_dgm2_source_vs_jax():
+    from raindrop_tpu.baselines.dgm2 import dgm2_apply, dgm2_init
+
+    models = reference_source.load("models")
+    bl = reference_source.load("DGM2_baseline") if False else None  # noqa
+    # build exactly as the driver does (DGM2_baseline.py:304-323) but on CPU
+    import torch.nn as nn
+
+    F_, T, S, L, C = 5, 8, 4, 10, 20
+    params = dgm2_init(jax.random.PRNGKey(6), F_, T, 2, latent_dim=L,
+                       cluster_num=C, d_static=S, ode_units=10)
+
+    ode_net = nn.Sequential(nn.Linear(L, 10), nn.Tanh(), nn.Linear(10, L))
+    rec_ode_func = models.ODEFunc(input_dim=L, latent_dim=L,
+                                  ode_func_net=ode_net)
+    solver = models.DiffeqSolver(L, rec_ode_func, "euler", L,
+                                 odeint_rtol=1e-3, odeint_atol=1e-4)
+    gru = models.GRU_unit_cluster(L, F_, n_units=10, use_mask=False,
+                                  dropout=0.0)
+    ref = models.DGM2_O(L, F_, C, solver, z0_dim=L, n_gru_units=10,
+                        GRU_update=gru, use_mask=False, dropout=0.0,
+                        use_static=True, num_time_steps_and_static=(T, S))
+
+    load_linear(ode_net[0], params["ode_l1"])
+    load_linear(ode_net[2], params["ode_l2"])
+    load_linear(gru.update_gate[0], params["update_gate"])
+    load_linear(gru.reset_gate[0], params["reset_gate"])
+    load_linear(gru.new_state_net[0], params["new_state"])
+    load_linear(ref.mlp, params["mlp"])
+    ref.eval()
+
+    rng = np.random.default_rng(7)
+    data = rng.normal(size=(3, T, F_)).astype(np.float32)
+    times = np.linspace(0.0, 1.0, T).astype(np.float32)
+    static = rng.normal(size=(3, S)).astype(np.float32)
+
+    with torch.no_grad():
+        expect = ref(_t(data), torch.tensor(times), _t(static))
+    got, _ = dgm2_apply(params, jnp.asarray(data), jnp.asarray(times),
+                        jnp.asarray(static))
+    np.testing.assert_allclose(np.asarray(got), expect.numpy(),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_imputation_source_vs_ours():
+    """mean/forward/cubic-spline imputation vs the running reference
+    (utils_phy12.py:175-287). Reference X_time is [N, T, 1] with 0 as the
+    missing marker; functions mutate in place, so each gets a copy."""
+    from raindrop_tpu.data import imputation as imp
+
+    up = reference_source.load("utils_phy12")
+    rng = np.random.default_rng(8)
+    N, T, F_ = 6, 12, 4
+    lengths = rng.integers(4, T + 1, size=N)
+    times = np.zeros((N, T, 1), np.float32)
+    for i in range(N):
+        times[i, :lengths[i], 0] = np.sort(
+            rng.uniform(0.1, 10, size=lengths[i]))
+    X = rng.normal(2.0, 1.0, size=(N, T, F_)).astype(np.float32)
+    X[rng.uniform(size=X.shape) < 0.4] = 0.0
+    for i in range(N):          # zero everything past the observed window
+        X[i, lengths[i]:] = 0.0
+    mean_features = rng.normal(1.0, 0.5, size=(F_,)).astype(np.float32)
+
+    ref_mean = up.mean_imputation(X.copy(), times.copy(), mean_features, 0)
+    np.testing.assert_allclose(
+        imp.mean_imputation(X, times[:, :, 0], mean_features), ref_mean,
+        rtol=1e-6)
+
+    ref_fwd = up.forward_imputation(X.copy(), times.copy(), 0)
+    np.testing.assert_allclose(
+        imp.forward_imputation(X, times[:, :, 0]), ref_fwd, rtol=1e-6)
+
+    ref_cs = up.cubic_spline_imputation(X.copy(), times.copy(), 0)
+    np.testing.assert_allclose(
+        imp.cubic_spline_imputation(X, times[:, :, 0]), ref_cs,
+        rtol=1e-5, atol=1e-5)
