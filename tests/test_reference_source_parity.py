@@ -337,6 +337,59 @@ def test_raindrop_v2_full_forward_vs_source():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_raindrop_v1_full_forward_vs_source():
+    """The legacy Raindrop v1 (code/models_rd.py:46-191) end-to-end vs our
+    models/raindrop_v1.py. The reference hard-codes 36 sensors and T=215
+    (output buffer at :160), so the comparison runs at real P12 scale with
+    d_model=72 (dim=2)."""
+    from raindrop_tpu.models.raindrop_v1 import (
+        raindrop_v1_apply, raindrop_v1_init)
+
+    cfg = dataset_config("P12", d_ob=2, nhead=2)
+    B, T, F_ = 2, cfg.max_len, cfg.d_inp
+    models_rd = reference_source.load("models_rd")
+    model = models_rd.Raindrop(
+        d_inp=F_, d_model=cfg.d_model, nhead=cfg.nhead, nhid=cfg.ffn_dim,
+        nlayers=cfg.nlayers, dropout=cfg.dropout, max_len=T,
+        d_static=cfg.d_static, MAX=cfg.MAX, perc=0.5, aggreg="mean",
+        n_classes=cfg.n_classes, global_structure=torch.ones(F_, F_))
+    params = raindrop_v1_init(jax.random.PRNGKey(0), cfg)
+
+    _load_linear(model.encoder, params["encoder"])
+    _load_linear(model.emb, params["emb"])
+    tc = params["transconv"]
+    _load_linear(model.transconv.lin_key, tc["lin_key"])
+    _load_linear(model.transconv.lin_query, tc["lin_query"])
+    _load_linear(model.transconv.lin_value, tc["lin_value"])
+    _load_linear(model.transconv.lin_skip, tc["lin_skip"])
+    _load_linear(model.mlp_static[0], params["mlp_static"]["lin0"])
+    _load_linear(model.mlp_static[2], params["mlp_static"]["lin1"])
+    from tests.reference_source import load_torch_encoder
+    load_torch_encoder(model.transformer_encoder,
+                       params["transformer_encoder"])
+    model.eval()
+
+    rng = np.random.default_rng(12)
+    lengths = rng.integers(T // 2, T + 1, size=(B,))
+    tgrid = np.cumsum(rng.uniform(0.1, 0.5, size=(T, B)), 0).astype(np.float32)
+    times = np.where(np.arange(T)[:, None] < lengths[None, :], tgrid, 0.0)
+    obs = (rng.uniform(size=(T, B, F_)) > 0.6).astype(np.float32)
+    vals = rng.normal(size=(T, B, F_)).astype(np.float32) * obs
+    src = np.concatenate([vals, obs], axis=-1)
+    static = rng.normal(size=(B, cfg.d_static)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_logits, ref_distance, _ = model(
+            _t(src), _t(static), _t(times), torch.tensor(lengths))
+    logits, distance = raindrop_v1_apply(
+        params, cfg, jnp.asarray(src), jnp.asarray(static),
+        jnp.asarray(times), jnp.asarray(lengths))
+    np.testing.assert_allclose(np.asarray(logits), ref_logits.numpy(),
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(float(distance), float(ref_distance),
+                               rtol=1e-3, atol=1e-4)
+
+
 # -------------------------------------------------------- PE + data pipeline
 
 
