@@ -166,6 +166,14 @@ def bench_torch_reference(dataset="P19", batch_size=128, iters=3):
 
 
 if __name__ == "__main__":
+    if "--profile" in sys.argv:
+        # capture an xprof trace of the steady-state scanned step
+        from raindrop_tpu.utils.diagnostics import profile_trace
+
+        logdir = "profile_trace"
+        with profile_trace(logdir):
+            bench_train_step(iters=5)
+        print(f"# trace written to {logdir}/", file=sys.stderr)
     r = bench_train_step()
     vs = (round(r["eval_samples_per_sec"] / BASELINE_TORCH_SAMPLES_PER_SEC, 1)
           if BASELINE_TORCH_SAMPLES_PER_SEC else None)

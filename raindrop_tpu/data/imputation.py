@@ -14,6 +14,8 @@ per-series).
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 
 
@@ -83,12 +85,34 @@ def cubic_spline_imputation(X: np.ndarray, X_time: np.ndarray) -> np.ndarray:
     return X
 
 
-def knn_imputation(X: np.ndarray, n_neighbors: int = 5) -> np.ndarray:
-    """sklearn KNNImputer over [N*T, F] with 0 = missing
-    (imputations.py:72-95)."""
+def knn_imputation(X: np.ndarray, X_time: Optional[np.ndarray] = None,
+                   n_neighbors: int = 10) -> np.ndarray:
+    """sklearn KNNImputer (imputations.py:72-98).
+
+    Reference semantics when X_time [N, T] is given: only zeros inside each
+    sample's observed window become NaN, samples are flattened to
+    [N, T*F] rows (patients are the kNN population), n_neighbors=10, and
+    residual NaNs are zeroed. (The reference keeps the imputed values via
+    KNNImputer(copy=False) mutating its input in place and discarding the
+    return value — numerically identical to using the returned array.)
+    Without X_time, falls back to per-observation [N*T, F] imputation.
+    """
     from sklearn.impute import KNNImputer
 
     N, T, F = X.shape
+    if X_time is not None:
+        X = X.astype(np.float64).copy()
+        lengths = _time_lengths(X_time)
+        for i in range(N):
+            w = X[i, :lengths[i], :]
+            w[w == 0] = np.nan
+        flat = X.reshape(N, T * F)
+        out = KNNImputer(n_neighbors=n_neighbors, weights="uniform",
+                         metric="nan_euclidean").fit_transform(flat)
+        # fit_transform drops all-NaN columns; restore full width
+        full = flat.copy()
+        full[:, ~np.all(np.isnan(flat), axis=0)] = out
+        return np.nan_to_num(full).reshape(N, T, F).astype(np.float32)
     flat = X.reshape(N * T, F).astype(np.float64)
     flat[flat == 0] = np.nan
     out = KNNImputer(n_neighbors=n_neighbors).fit_transform(flat)
@@ -96,7 +120,14 @@ def knn_imputation(X: np.ndarray, n_neighbors: int = 5) -> np.ndarray:
 
 
 def mice_imputation(X: np.ndarray, max_iter: int = 10) -> np.ndarray:
-    """sklearn IterativeImputer (MICE) (imputations.py:98-123)."""
+    """sklearn IterativeImputer (MICE) (imputations.py:101-123).
+
+    Deviation, deliberate: the reference DISCARDS IterativeImputer's return
+    value and (unlike its kNN path) has no copy=False in-place side effect,
+    so its MICE output is the input with NaNs written into the missing
+    positions — a latent bug that would poison downstream tensorization.
+    Here the imputed result is actually used.
+    """
     from sklearn.experimental import enable_iterative_imputer  # noqa: F401
     from sklearn.impute import IterativeImputer
 

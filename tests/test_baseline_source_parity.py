@@ -314,3 +314,30 @@ def test_imputation_source_vs_ours():
     np.testing.assert_allclose(
         imp.cubic_spline_imputation(X, times[:, :, 0]), ref_cs,
         rtol=1e-5, atol=1e-5)
+
+
+def test_knn_imputation_source_vs_ours():
+    """kNN imputation vs the running reference (imputations.py:72-98). The
+    reference discards fit_transform's return and relies on
+    KNNImputer(copy=False) mutating X_features in place — identical values
+    to using the returned array, which is what ours does."""
+    from raindrop_tpu.data.imputation import knn_imputation
+
+    imputations = reference_source.load("imputations")
+    rng = np.random.default_rng(9)
+    N, T, F_ = 12, 8, 3
+    # the reference's time_length comprehension (imputations.py:80) indexes
+    # np.where(times == 0)[0][0] and so CRASHES on a full-length sample —
+    # keep every sample strictly shorter than T
+    lengths = rng.integers(3, T, size=N)
+    times = np.zeros((N, T, 1))
+    for i in range(N):
+        times[i, :lengths[i], 0] = np.sort(rng.uniform(0.1, 10, lengths[i]))
+    X = rng.normal(2.0, 1.0, size=(N, T, F_))
+    X[rng.uniform(size=X.shape) < 0.3] = 0.0
+    for i in range(N):
+        X[i, lengths[i]:] = 0.0
+
+    ref = imputations.kNN_imputation(X.copy(), times.copy())
+    ours = knn_imputation(X, times[:, :, 0])
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
