@@ -141,19 +141,23 @@ def test_grud_source_vs_jax():
                                rtol=2e-5, atol=2e-5)
 
 
-def test_mtand_source_vs_jax():
+import pytest
+
+
+@pytest.mark.parametrize("num_heads", [1, 2])
+def test_mtand_source_vs_jax(num_heads):
     from raindrop_tpu.baselines.mtand import mtand_apply, mtand_init
 
     mt = reference_source.load_mtand_models()
     B, T, F = 3, 11, 5
     nhidden, embed_time, n_ref = 8, 16, 32
     params = mtand_init(jax.random.PRNGKey(4), 2 * F, nhidden=nhidden,
-                        embed_time=embed_time, num_heads=1, n_classes=2,
-                        n_ref=n_ref)
+                        embed_time=embed_time, num_heads=num_heads,
+                        n_classes=2, n_ref=n_ref)
 
     query = torch.linspace(0, 1.0, n_ref)
     ref = mt.enc_mtan_classif(input_dim=F, query=query, nhidden=nhidden,
-                              embed_time=embed_time, num_heads=1,
+                              embed_time=embed_time, num_heads=num_heads,
                               learn_emb=True, n_classes=2)
     load_linear(ref.att.linears[0], params["att_q"])
     load_linear(ref.att.linears[1], params["att_k"])
@@ -177,7 +181,8 @@ def test_mtand_source_vs_jax():
 
     with torch.no_grad():
         expect = ref(_t(x), _t(times))
-    got, _ = mtand_apply(params, jnp.asarray(x), jnp.asarray(times))
+    got, _ = mtand_apply(params, jnp.asarray(x), jnp.asarray(times),
+                         num_heads=num_heads)
     np.testing.assert_allclose(np.asarray(got), expect.numpy(),
                                rtol=2e-5, atol=2e-5)
 
