@@ -17,6 +17,7 @@ it as the end-to-end system speedup, not a kernel comparison.
 """
 
 import json
+import os
 import sys
 import time
 from functools import partial
@@ -32,7 +33,10 @@ BASELINE_TORCH_SAMPLES_PER_SEC = 207.7
 
 
 def bench_train_step(dataset="P19", batch_size=128, iters=20, warmup=3,
-                     compute_dtype=None):
+                     compute_dtype=None, deadline=None):
+    """deadline: optional time.time() timestamp — optional measurements
+    (dispatched single-step, eval) are skipped once it passes, so one slow
+    tunnel compile can't blow the whole bench run."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -91,23 +95,15 @@ def bench_train_step(dataset="P19", batch_size=128, iters=20, warmup=3,
         logits, _ = raindrop_apply(params, cfg, src, static, tm, lengths)
         return logits
 
+    def time_left():
+        return deadline is None or time.time() < deadline
+
+    # headline first — the scanned production path (1 compile), warmup via
+    # the first two calls, then `rounds` timed calls of `iters` steps each
     key = jax.random.PRNGKey(0)
-    for _ in range(warmup):
+    for _ in range(2):
         key, k = jax.random.split(key)
-        params, opt_state, loss = step(params, opt_state, k)
-    jax.block_until_ready(loss)
-
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        key, k = jax.random.split(key)
-        params, opt_state, loss = step(params, opt_state, k)
-    jax.block_until_ready(loss)
-    dt_dispatch = time.perf_counter() - t0
-
-    # scanned path: warmup one call (compile), then time `rounds` calls of
-    # `iters` steps each
-    key, k = jax.random.split(key)
-    params, opt_state, loss = step_scan(params, opt_state, k)
+        params, opt_state, loss = step_scan(params, opt_state, k)
     jax.block_until_ready(loss)
     rounds = 4
     t0 = time.perf_counter()
@@ -117,25 +113,39 @@ def bench_train_step(dataset="P19", batch_size=128, iters=20, warmup=3,
     jax.block_until_ready(loss)
     dt = (time.perf_counter() - t0) / rounds
 
-    jax.block_until_ready(eval_step(params))
-    t1 = time.perf_counter()
-    for _ in range(iters):
-        logits = eval_step(params)
-    jax.block_until_ready(logits)
-    dt_eval = time.perf_counter() - t1
-
     steps_per_sec = iters / dt
     samples_per_sec = steps_per_sec * B
     edges_per_sec = samples_per_sec * F * F * 2  # 2 propagation layers
-    return {
+    out = {
         "samples_per_sec": samples_per_sec,
-        "eval_samples_per_sec": iters * B / dt_eval,
+        "eval_samples_per_sec": None,
         "edges_per_sec": edges_per_sec,
         "step_ms": 1000.0 * dt / iters,
-        "dispatched_step_ms": 1000.0 * dt_dispatch / iters,
+        "dispatched_step_ms": None,
         "loss": float(loss),
         "backend": jax.default_backend(),
     }
+
+    if time_left():
+        jax.block_until_ready(eval_step(params))
+        t1 = time.perf_counter()
+        for _ in range(iters):
+            logits = eval_step(params)
+        jax.block_until_ready(logits)
+        out["eval_samples_per_sec"] = iters * B / (time.perf_counter() - t1)
+
+    if time_left():
+        for _ in range(warmup):
+            key, k = jax.random.split(key)
+            params, opt_state, loss = step(params, opt_state, k)
+        jax.block_until_ready(loss)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            key, k = jax.random.split(key)
+            params, opt_state, loss = step(params, opt_state, k)
+        jax.block_until_ready(loss)
+        out["dispatched_step_ms"] = 1000.0 * (time.perf_counter() - t0) / iters
+    return out
 
 
 def bench_torch_reference(dataset="P19", batch_size=128, iters=3):
@@ -174,25 +184,39 @@ if __name__ == "__main__":
         with profile_trace(logdir):
             bench_train_step(iters=5)
         print(f"# trace written to {logdir}/", file=sys.stderr)
-    r = bench_train_step()
+    # Soft wall-clock budget: tunnel compile times vary from seconds to
+    # minutes; the headline always runs, the optional measurements stop
+    # once the budget passes.
+    t_start = time.time()
+    budget = float(os.environ.get("RAINDROP_BENCH_BUDGET_S", "480"))
+    r = bench_train_step(deadline=t_start + budget)
+    # vs_baseline prefers the eval/eval comparison; if the budget cut the
+    # eval measurement, fall back to TRAIN samples/s over the torch EVAL
+    # baseline — strictly conservative (our train step does ~3x the work of
+    # the baseline's eval forward).
     vs = (round(r["eval_samples_per_sec"] / BASELINE_TORCH_SAMPLES_PER_SEC, 1)
-          if BASELINE_TORCH_SAMPLES_PER_SEC else None)
+          if r["eval_samples_per_sec"] else
+          round(r["samples_per_sec"] / BASELINE_TORCH_SAMPLES_PER_SEC, 1))
     # Scale-out point: large batch + bf16 mixed precision (MXU-native) shows
     # the production-throughput ceiling rather than the reference's B=128.
-    try:
-        big = bench_train_step(batch_size=1024, compute_dtype="bfloat16")
-        big_sps = round(big["samples_per_sec"], 2)
-    except Exception:
-        big_sps = None
+    big_sps = None
+    if time.time() < t_start + budget:
+        try:
+            big = bench_train_step(batch_size=1024, compute_dtype="bfloat16",
+                                   deadline=0)  # headline only
+            big_sps = round(big["samples_per_sec"], 2)
+        except Exception:
+            pass
+    rnd = lambda v, n=2: None if v is None else round(v, n)  # noqa: E731
     print(json.dumps({
         "metric": "raindrop_p19_train_samples_per_sec",
         "value": round(r["samples_per_sec"], 2),
         "unit": "samples/s",
         "vs_baseline": vs,
-        "eval_samples_per_sec": round(r["eval_samples_per_sec"], 2),
+        "eval_samples_per_sec": rnd(r["eval_samples_per_sec"]),
         "edges_per_sec": round(r["edges_per_sec"]),
         "step_ms": round(r["step_ms"], 3),
-        "dispatched_step_ms": round(r["dispatched_step_ms"], 3),
+        "dispatched_step_ms": rnd(r["dispatched_step_ms"], 3),
         "bf16_b1024_samples_per_sec": big_sps,
         "backend": r["backend"],
     }))
