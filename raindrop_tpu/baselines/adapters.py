@@ -45,6 +45,14 @@ def make_baseline(name: str, cfg: RaindropConfig
                 transformer_ctx_apply(p, cfg, src, st, tm, ln,
                                       train=train, rng=rng))
 
+    if name == "transformer_moe":
+        from raindrop_tpu.baselines.transformer_moe import (
+            transformer_moe_apply, transformer_moe_init)
+        return (lambda key: transformer_moe_init(key, cfg),
+                lambda p, src, st, tm, ln, train, rng:
+                transformer_moe_apply(p, cfg, src, st, tm, ln,
+                                      train=train, rng=rng))
+
     if name == "seft":
         from raindrop_tpu.baselines.seft import seft_apply, seft_init
         return (lambda key: seft_init(key, cfg),
@@ -153,5 +161,5 @@ def make_baseline(name: str, cfg: RaindropConfig
     raise ValueError(f"unknown baseline {name!r}")
 
 
-BASELINES = ("transformer", "transformer_ctx", "seft", "raindrop_v1",
-             "grud", "mtand", "mtgnn", "dgm2", "ipnet")
+BASELINES = ("transformer", "transformer_ctx", "transformer_moe", "seft",
+             "raindrop_v1", "grud", "mtand", "mtgnn", "dgm2", "ipnet")

@@ -75,6 +75,48 @@ def raindrop_init(key, cfg: RaindropConfig):
     return params
 
 
+def raindrop_param_mask(cfg: RaindropConfig):
+    """True for every parameter the forward actually uses (same tree
+    structure as raindrop_init).
+
+    torch.optim.Adam skips parameters whose .grad stays None, so the
+    reference never touches its dead parameters (the unused `encoder`,
+    code/models_rd.py:228; Ob_propagation's lin_key/lin_query/lin_skip/
+    weight/bias/nodewise_weights, and — when use_beta=False — increase_dim/
+    map_weights). Feed this to optax.masked for the same semantics (and to
+    skip their optimizer-state traffic: ~1.5M of 2.8M params are dead in
+    the shipped P19 config).
+    """
+    def prop_mask():
+        return {
+            "lin_key": {"w": False, "b": False},
+            "lin_query": {"w": False, "b": False},
+            "lin_value": {"w": True, "b": True},
+            "lin_skip": {"w": False, "b": False},
+            "weight": False,
+            "bias": False,
+            "nodewise_weights": False,
+            "increase_dim": {"w": cfg.use_beta, "b": cfg.use_beta},
+            "map_weights": cfg.use_beta,
+        }
+
+    def like(tree, value):
+        return jax.tree.map(lambda _: value, tree)
+
+    params = raindrop_init(jax.random.PRNGKey(0), cfg)
+    mask = {
+        "R_u": True,
+        "encoder": like(params["encoder"], False),
+        "ob_propagation": prop_mask(),
+        "ob_propagation_layer2": prop_mask(),
+        "transformer_encoder": like(params["transformer_encoder"], True),
+        "mlp_static": like(params["mlp_static"], True),
+    }
+    if cfg.static:
+        mask["emb"] = like(params["emb"], True)
+    return mask
+
+
 def _to_node_features(h: jnp.ndarray, F: int, d_ob: int) -> jnp.ndarray:
     """[B, T, F*d_ob] -> [B, F, T*d_ob] (code/models_rd.py:326-327)."""
     B, T, _ = h.shape

@@ -44,8 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
     # explicit versions of the reference's hidden knobs
     p.add_argument("--model", default="raindrop",
                    choices=["raindrop", "raindrop_v1", "transformer",
-                            "transformer_ctx", "seft", "grud", "mtand",
-                            "mtgnn", "dgm2", "ipnet"])
+                            "transformer_ctx", "transformer_moe", "seft",
+                            "grud", "mtand", "mtgnn", "dgm2", "ipnet"])
     p.add_argument("--use-beta", type=str2bool, default=False)
     p.add_argument("--sensor-wise-mask", type=str2bool, default=False)
     p.add_argument("--epochs", type=int, default=20)

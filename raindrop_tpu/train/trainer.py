@@ -56,16 +56,26 @@ class Trainer:
     """One (model config, train config) pair; reusable across splits."""
 
     def __init__(self, cfg: RaindropConfig, tcfg: TrainConfig, *,
-                 mesh=None, apply_fn=None, init_fn=None):
+                 mesh=None, apply_fn=None, init_fn=None, update_mask=None):
         self.cfg = cfg
         self.tcfg = tcfg
         self.mesh = mesh
         # pluggable model (baselines reuse this trainer with their own fns)
+        is_default_model = apply_fn is None
         self._apply = apply_fn or (
             lambda p, src, static, times, lengths, train, rng:
             raindrop_apply(p, cfg, src, static, times, lengths,
                            train=train, rng=rng))
         self._init = init_fn or (lambda key: raindrop_init(key, cfg))
+        # torch.optim.Adam skips grad-less params; mask the dead reference
+        # params out of the optimizer for the same semantics (and less
+        # optimizer-state traffic). Custom models pass their own mask.
+        if update_mask is None and is_default_model:
+            from raindrop_tpu.models.raindrop import raindrop_param_mask
+            update_mask = raindrop_param_mask(cfg)
+        elif update_mask is False:      # explicit opt-out
+            update_mask = None
+        self._update_mask = update_mask
         self._build()
 
     # ---- compiled steps ------------------------------------------------
@@ -73,7 +83,13 @@ class Trainer:
         cfg = self.cfg
         # inject_hyperparams makes learning_rate a leaf of opt_state so the
         # host-side plateau scheduler can rewrite it without recompiling.
-        self.optimizer = optax.inject_hyperparams(optax.adam)(
+        mask = self._update_mask
+
+        def make_adam(learning_rate):
+            inner = optax.adam(learning_rate)
+            return optax.masked(inner, mask) if mask is not None else inner
+
+        self.optimizer = optax.inject_hyperparams(make_adam)(
             learning_rate=self.tcfg.learning_rate)
 
         def loss_fn(params, batch, rng):

@@ -73,3 +73,52 @@ def test_moe_differentiable():
     assert all(flat)
     # gate gradient flows through the prob weighting
     assert float(jnp.abs(g["gate"]["w"]).sum()) > 0
+
+
+def test_transformer_moe_baseline_learns():
+    """The MoE transformer trains end-to-end under the Trainer with the
+    load-balance aux in the loss."""
+    from raindrop_tpu.config import TrainConfig, dataset_config
+    from raindrop_tpu.data import synthetic_split
+    from raindrop_tpu.train import Trainer
+    from raindrop_tpu.baselines.adapters import make_baseline
+
+    cfg = dataset_config("PAM", max_len=16, nlayers=1, nhead=1)
+    tcfg = TrainConfig(dataset="PAM", num_epochs=3, learning_rate=1e-3,
+                       batch_size=32, batching_strategy=3,
+                       n_batches_strategy3=8, seed=0, aux_loss_weight=0.01)
+    split = synthetic_split("PAM", n=160, seed=0, T=16)
+    init_fn, apply_fn = make_baseline("transformer_moe", cfg)
+    res = Trainer(cfg, tcfg, init_fn=init_fn,
+                  apply_fn=apply_fn).train_split(split, verbose=False)
+    assert res.test_metrics["auroc"] > 0.6
+    assert len(res.history) == 3
+
+
+def test_transformer_moe_mesh_matches_single():
+    """Expert-sharded execution over the mesh matches unsharded eval."""
+    from raindrop_tpu.config import dataset_config
+    from raindrop_tpu.baselines.transformer_moe import (
+        transformer_moe_apply, transformer_moe_init)
+    from raindrop_tpu.parallel.mesh import make_mesh
+
+    cfg = dataset_config("P19", max_len=8, nlayers=1, nhead=1)
+    params = transformer_moe_init(jax.random.PRNGKey(0), cfg, n_experts=4)
+    rng = np.random.default_rng(0)
+    T, B, F = cfg.max_len, 8, cfg.d_inp
+    src = jnp.asarray(rng.normal(size=(T, B, 2 * F)).astype(np.float32))
+    times = jnp.asarray(np.cumsum(
+        rng.uniform(0.1, 1.0, size=(T, B)), 0).astype(np.float32))
+    static = jnp.asarray(rng.normal(size=(B, cfg.d_static)).astype(np.float32))
+    lengths = jnp.full((B,), T, jnp.int32)
+
+    expect, aux0 = transformer_moe_apply(params, cfg, src, static, times, lengths)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    with jax.set_mesh(mesh):
+        got, aux = jax.jit(
+            lambda p: transformer_moe_apply(p, cfg, src, static, times,
+                                            lengths, mesh=mesh))(params)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(aux), float(aux0), rtol=1e-5)

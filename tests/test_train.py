@@ -155,3 +155,24 @@ def test_scan_epoch_matches_per_step_path():
         lambda x, y: np.testing.assert_allclose(
             np.asarray(x), np.asarray(y), rtol=1e-3, atol=1e-4),
         a.params, b.params)
+
+
+def test_masked_optimizer_matches_unmasked():
+    """The dead-parameter mask (models.raindrop.raindrop_param_mask — the
+    torch skip-grad-less-params semantics) must not change the training
+    trajectory: masked params get structurally-zero grads, and a zero-grad
+    Adam update is exactly zero."""
+    cfg = dataset_config("PAM", max_len=16, dropout=0.0, prop_dropout=0.0)
+    split = synthetic_split("PAM", n=128, seed=0, T=16)
+    tcfg = TrainConfig(dataset="PAM", num_epochs=2, learning_rate=1e-3,
+                       batch_size=32, batching_strategy=3,
+                       n_batches_strategy3=3, seed=0)
+    a = Trainer(cfg, tcfg).train_split(split, verbose=False)  # mask default
+    b = Trainer(cfg, tcfg, update_mask=False).train_split(split, verbose=False)
+    for ra, rb in zip(a.history, b.history):
+        np.testing.assert_allclose(ra["train_loss"], rb["train_loss"],
+                                   rtol=1e-5, atol=1e-6)
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=1e-4, atol=1e-5),
+        a.params, b.params)
