@@ -24,3 +24,11 @@ from raindrop_tpu.data.collate import (  # noqa: F401
     records_from_dense,
     variable_time_collate,
 )
+from raindrop_tpu.data.raw_irregular import (  # noqa: F401
+    load_person_activity,
+    load_physionet_dir,
+    parse_person_activity,
+    parse_physionet_outcomes,
+    parse_physionet_record,
+    union_time_collate,
+)

@@ -86,6 +86,21 @@ def balanced_batches(
         raise ValueError(f"unknown strategy {strategy}")
 
 
+def balanced_sample_per_class(y: np.ndarray, batch_size: int,
+                              rng: np.random.Generator,
+                              n_classes: int = 8,
+                              replace: bool = False) -> np.ndarray:
+    """One batch of B/n_classes indices per class — the reference's
+    dormant 8-class balanced sampler for PAM (utils_phy12.py:403-415,
+    random_sample_8; commented out in the drivers, e.g.
+    Transformer_baseline.py:334)."""
+    y = np.asarray(y).reshape(-1)
+    per = batch_size // n_classes
+    return np.concatenate([
+        rng.choice(np.where(y == c)[0], size=per, replace=replace)
+        for c in range(n_classes)])
+
+
 def _shard(idx: np.ndarray, shard_id: int, num_shards: int) -> np.ndarray:
     if num_shards == 1:
         return idx

@@ -55,3 +55,20 @@ class ReduceLROnPlateau:
 
     def load_state_dict(self, s):
         self.lr, self.best, self.num_bad_epochs = s["lr"], s["best"], s["num_bad_epochs"]
+
+
+def noam_schedule(model_size: int, factor: float, warmup: int):
+    """Noam (Transformer warmup) LR schedule — the reference ships it as a
+    defined-but-unused optimizer wrapper (utils_phy12.py:515-544, NoamOpt):
+    lr(step) = factor * d_model^-0.5 * min(step^-0.5, step * warmup^-1.5).
+
+    Returns an optax-compatible schedule fn of the 0-based update count;
+    the reference's step counter is 1-based, so we shift by one.
+    """
+    import jax.numpy as jnp
+
+    def schedule(count):
+        step = jnp.asarray(count, jnp.float32) + 1.0
+        return factor * (model_size ** -0.5) * jnp.minimum(
+            step ** -0.5, step * warmup ** -1.5)
+    return schedule
