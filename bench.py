@@ -32,6 +32,25 @@ import numpy as np
 BASELINE_TORCH_SAMPLES_PER_SEC = 207.7
 
 
+def _log(msg):
+    print(f"# bench {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr,
+          flush=True)
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: tunnel compiles vary from seconds
+    to >10 min for identical programs, so cache them across bench runs."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                         "/tmp/raindrop_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def bench_train_step(dataset="P19", batch_size=128, iters=20, warmup=3,
                      compute_dtype=None, deadline=None):
     """deadline: optional time.time() timestamp — optional measurements
@@ -95,17 +114,40 @@ def bench_train_step(dataset="P19", batch_size=128, iters=20, warmup=3,
         logits, _ = raindrop_apply(params, cfg, src, static, tm, lengths)
         return logits
 
+    # Steady-state eval: `iters` forwards in ONE dispatch (the serving
+    # tier's AOT/batched regime) — per-step dispatch would otherwise
+    # dominate at ~1 ms compute per batch. The carry feeds back into the
+    # input (x + acc*1e-38) so the loop body is NOT loop-invariant and XLA
+    # cannot hoist the forward out of the scan.
+    @jax.jit
+    def eval_scan(params):
+        src0 = P.transpose(1, 0, 2)
+        tm = times.transpose(1, 0)
+        lengths = jnp.sum(tm > 0, axis=0)
+
+        def body(acc, _):
+            logits, _d = raindrop_apply(
+                params, cfg, src0 + acc * 1e-38, static, tm, lengths)
+            return logits.mean(), None
+        total, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return total
+
     def time_left():
         return deadline is None or time.time() < deadline
 
     # headline first — the scanned production path (1 compile), warmup via
     # the first two calls, then `rounds` timed calls of `iters` steps each
+    _log(f"compiling scanned train step (B={batch_size}, "
+         f"dtype={compute_dtype or 'float32'})")
     key = jax.random.PRNGKey(0)
     for _ in range(2):
         key, k = jax.random.split(key)
         params, opt_state, loss = step_scan(params, opt_state, k)
     jax.block_until_ready(loss)
-    rounds = 4
+    _log("train scan compiled; measuring")
+    # 8 rounds of `iters` scanned steps (~170 ms) — long enough that
+    # per-dispatch tunnel jitter stays <1% of the window
+    rounds = 8
     t0 = time.perf_counter()
     for _ in range(rounds):
         key, k = jax.random.split(key)
@@ -127,14 +169,18 @@ def bench_train_step(dataset="P19", batch_size=128, iters=20, warmup=3,
     }
 
     if time_left():
-        jax.block_until_ready(eval_step(params))
+        _log("compiling scanned eval")
+        jax.block_until_ready(eval_scan(params))
+        eval_rounds = 8
         t1 = time.perf_counter()
-        for _ in range(iters):
-            logits = eval_step(params)
-        jax.block_until_ready(logits)
-        out["eval_samples_per_sec"] = iters * B / (time.perf_counter() - t1)
+        for _ in range(eval_rounds):
+            total = eval_scan(params)
+        jax.block_until_ready(total)
+        out["eval_samples_per_sec"] = (
+            eval_rounds * iters * B / (time.perf_counter() - t1))
 
     if time_left():
+        _log("compiling dispatched single step")
         for _ in range(warmup):
             key, k = jax.random.split(key)
             params, opt_state, loss = step(params, opt_state, k)
@@ -176,6 +222,16 @@ def bench_torch_reference(dataset="P19", batch_size=128, iters=3):
 
 
 if __name__ == "__main__":
+    _enable_compile_cache()
+    if "--big-only" in sys.argv:
+        # subprocess mode for the optional large-batch bf16 extra: its
+        # compile time is tunnel-dependent (seconds to >10 min observed),
+        # so the parent bounds it with a subprocess timeout rather than
+        # letting it starve the headline JSON.
+        r = bench_train_step(batch_size=1024, compute_dtype="bfloat16",
+                             deadline=0)
+        print(json.dumps({"samples_per_sec": r["samples_per_sec"]}))
+        sys.exit(0)
     if "--profile" in sys.argv:
         # capture an xprof trace of the steady-state scanned step
         from raindrop_tpu.utils.diagnostics import profile_trace
@@ -199,13 +255,21 @@ if __name__ == "__main__":
           round(r["samples_per_sec"] / BASELINE_TORCH_SAMPLES_PER_SEC, 1))
     # Scale-out point: large batch + bf16 mixed precision (MXU-native) shows
     # the production-throughput ceiling rather than the reference's B=128.
+    # Run in a subprocess bounded by the remaining budget — its compile is
+    # occasionally pathologically slow on the tunnel, and the headline JSON
+    # must print regardless.
     big_sps = None
-    if time.time() < t_start + budget:
+    remaining = t_start + budget - time.time()
+    if remaining > 60 and os.environ.get("RAINDROP_BENCH_EXTRAS", "1") != "0":
+        import subprocess
         try:
-            big = bench_train_step(batch_size=1024, compute_dtype="bfloat16",
-                                   deadline=0)  # headline only
-            big_sps = round(big["samples_per_sec"], 2)
-        except Exception:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--big-only"],
+                capture_output=True, text=True, timeout=remaining)
+            for ln in (p.stdout or "").strip().splitlines():
+                if ln.startswith("{"):
+                    big_sps = round(json.loads(ln)["samples_per_sec"], 2)
+        except (subprocess.SubprocessError, ValueError, KeyError):
             pass
     rnd = lambda v, n=2: None if v is None else round(v, n)  # noqa: E731
     print(json.dumps({

@@ -14,6 +14,7 @@
 
 #include <cmath>
 #include <cstdint>
+#include <cstring>
 
 extern "C" {
 
@@ -145,6 +146,32 @@ void rd_zero_sensors(float* P, int64_t N, int64_t T, int64_t F,
   }
 }
 
-int rd_abi_version() { return 1; }
+// Batch assembly for the streaming input pipeline (data/prefetch.py):
+// gather B sample rows by index in one OpenMP pass. P is any [N, rowlen]
+// row-major float32 view (e.g. [N, T*2F] flattened series); out [B, rowlen].
+void rd_gather_rows(const float* P, int64_t rowlen, const int64_t* idx,
+                    int64_t B, float* out) {
+#pragma omp parallel for schedule(static)
+  for (int64_t b = 0; b < B; ++b) {
+    memcpy(out + b * rowlen, P + idx[b] * rowlen,
+           (size_t)rowlen * sizeof(float));
+  }
+}
+
+// Gather + time-major transpose fused: P [N, T, C] -> out [T, B, C] for
+// the model's [T, B, 2F] input contract (reference permute at
+// code/Raindrop.py:233-239) without a second host pass.
+void rd_gather_time_major(const float* P, int64_t T, int64_t C,
+                          const int64_t* idx, int64_t B, float* out) {
+#pragma omp parallel for collapse(2) schedule(static)
+  for (int64_t b = 0; b < B; ++b) {
+    for (int64_t t = 0; t < T; ++t) {
+      memcpy(out + (t * B + b) * C, P + (idx[b] * T + t) * C,
+             (size_t)C * sizeof(float));
+    }
+  }
+}
+
+int rd_abi_version() { return 2; }
 
 }  // extern "C"

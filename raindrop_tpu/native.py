@@ -37,15 +37,18 @@ _f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
 _i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 
 
-def ensure_built() -> bool:
-    """Build native/librdhost.so if missing. Returns success."""
-    if os.path.exists(_LIB_PATH):
+_ABI_VERSION = 2
+
+
+def ensure_built(force: bool = False) -> bool:
+    """Build native/librdhost.so if missing (or force). Returns success."""
+    if os.path.exists(_LIB_PATH) and not force:
         return True
     if not os.path.exists(os.path.join(_NATIVE_DIR, "raindrop_host.cpp")):
         return False
     try:
-        subprocess.run(["make", "-C", _NATIVE_DIR],
-                       check=True, capture_output=True, timeout=120)
+        cmd = ["make", "-C", _NATIVE_DIR] + (["-B"] if force else [])
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return os.path.exists(_LIB_PATH)
     except (OSError, subprocess.SubprocessError):
         return False
@@ -64,8 +67,14 @@ def _load() -> Optional[ctypes.CDLL]:
         except OSError:
             return None
         lib.rd_abi_version.restype = ctypes.c_int
-        if lib.rd_abi_version() != 1:
-            return None
+        if lib.rd_abi_version() != _ABI_VERSION:
+            # stale build from an older source tree — rebuild once
+            if not ensure_built(force=True):
+                return None
+            lib = ctypes.CDLL(_LIB_PATH)
+            lib.rd_abi_version.restype = ctypes.c_int
+            if lib.rd_abi_version() != _ABI_VERSION:
+                return None
         lib.rd_get_stats.argtypes = [_f64p, _i64, _i64, _f64p, _f64p,
                                      ctypes.c_double]
         lib.rd_mask_normalize.argtypes = [_f64p, _i64, _i64, _i64,
@@ -74,6 +83,9 @@ def _load() -> Optional[ctypes.CDLL]:
                                                  _f64p, _f64p, _f32p]
         lib.rd_build_delta.argtypes = [_f32p, _f64p, _i64, _i64, _i64, _f32p]
         lib.rd_zero_sensors.argtypes = [_f32p, _i64, _i64, _i64, _i64p, _i64]
+        lib.rd_gather_rows.argtypes = [_f32p, _i64, _i64p, _i64, _f32p]
+        lib.rd_gather_time_major.argtypes = [_f32p, _i64, _i64, _i64p,
+                                             _i64, _f32p]
         _lib = lib
         return _lib
 
@@ -133,6 +145,33 @@ def build_delta(mask: np.ndarray, times: np.ndarray) -> np.ndarray:
     times = np.ascontiguousarray(times, np.float64)
     out = np.empty((N, T, F), np.float32)
     lib.rd_build_delta(mask, times, N, T, F, out)
+    return out
+
+
+def gather_rows(P: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """Native batched row gather: out[b] = P[idx[b]] for any [N, ...]
+    float32 array (rows are the flattened trailing dims)."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    P = np.ascontiguousarray(P, np.float32)
+    idx = np.ascontiguousarray(idx, np.int64)
+    rowlen = int(np.prod(P.shape[1:], dtype=np.int64))
+    out = np.empty((len(idx),) + P.shape[1:], np.float32)
+    lib.rd_gather_rows(P.reshape(P.shape[0], -1), rowlen, idx, len(idx),
+                       out.reshape(len(idx), -1))
+    return out
+
+
+def gather_time_major(P: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """Native fused gather + [N, T, C] -> [T, B, C] transpose (the model's
+    time-major input contract, reference code/Raindrop.py:233-239)."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    P = np.ascontiguousarray(P, np.float32)
+    idx = np.ascontiguousarray(idx, np.int64)
+    N, T, C = P.shape
+    out = np.empty((T, len(idx), C), np.float32)
+    lib.rd_gather_time_major(P, T, C, idx, len(idx), out)
     return out
 
 
