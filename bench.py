@@ -40,15 +40,9 @@ def _log(msg):
 def _enable_compile_cache():
     """Persistent XLA compilation cache: tunnel compiles vary from seconds
     to >10 min for identical programs, so cache them across bench runs."""
-    import jax
+    from raindrop_tpu.utils.diagnostics import enable_persistent_compile_cache
 
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                         "/tmp/raindrop_jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    enable_persistent_compile_cache()
 
 
 def bench_train_step(dataset="P19", batch_size=128, iters=20, warmup=3,

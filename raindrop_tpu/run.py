@@ -78,6 +78,9 @@ def make_model_fns(args, cfg):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    from raindrop_tpu.utils.diagnostics import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
+
     from raindrop_tpu.config import TrainConfig, dataset_config
     from raindrop_tpu.data import (
         load_split,

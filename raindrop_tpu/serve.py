@@ -206,6 +206,9 @@ def make_http_server(server: InferenceServer, host: str = "127.0.0.1",
 def main(argv=None):
     import argparse
 
+    from raindrop_tpu.utils.diagnostics import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
+
     ap = argparse.ArgumentParser(description="Raindrop inference server")
     ap.add_argument("--dataset", default="P19")
     ap.add_argument("--checkpoint", default=None,

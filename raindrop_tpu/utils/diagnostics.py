@@ -25,6 +25,31 @@ import jax
 import numpy as np
 
 
+def enable_persistent_compile_cache(
+        cache_dir: str = "/tmp/raindrop_jax_cache",
+        min_compile_secs: float = 1.0) -> bool:
+    """Turn on XLA's on-disk compilation cache.
+
+    Compile latency on tunneled/offloaded TPU backends varies by an order
+    of magnitude run to run for identical programs; the persistent cache
+    makes every entry point (CLI, serving, bench) compile once per code
+    version. Called by run.py, serve.py, bench.py and __graft_entry__ —
+    NOT at library import (a library must not mutate global jax config).
+    Returns False if the running jax has no such config (never raises).
+    """
+    import os
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                         cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          min_compile_secs)
+        return True
+    except Exception:
+        return False
+
+
 @contextlib.contextmanager
 def profile_trace(logdir: str) -> Iterator[None]:
     """jax.profiler trace context; view with tensorboard/xprof."""
