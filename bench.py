@@ -226,6 +226,14 @@ if __name__ == "__main__":
                              deadline=0)
         print(json.dumps({"samples_per_sec": r["samples_per_sec"]}))
         sys.exit(0)
+    if "--dataset" in sys.argv:
+        # subprocess mode for per-dataset extras: PAM (T=600, 8-class,
+        # no static — exercises the Pallas flash-attention path) and P12
+        # (T=215, F=36 — the largest T*F product).
+        ds = sys.argv[sys.argv.index("--dataset") + 1]
+        r = bench_train_step(dataset=ds, deadline=0)
+        print(json.dumps({"samples_per_sec": r["samples_per_sec"]}))
+        sys.exit(0)
     if "--profile" in sys.argv:
         # capture an xprof trace of the steady-state scanned step
         from raindrop_tpu.utils.diagnostics import profile_trace
@@ -252,19 +260,26 @@ if __name__ == "__main__":
     # Run in a subprocess bounded by the remaining budget — its compile is
     # occasionally pathologically slow on the tunnel, and the headline JSON
     # must print regardless.
-    big_sps = None
-    remaining = t_start + budget - time.time()
-    if remaining > 60 and os.environ.get("RAINDROP_BENCH_EXTRAS", "1") != "0":
+    def run_extra(args_):
+        """One bounded subprocess measurement; None on timeout/failure."""
+        remaining = t_start + budget - time.time()
+        if remaining < 60 or os.environ.get("RAINDROP_BENCH_EXTRAS", "1") == "0":
+            return None
         import subprocess
         try:
             p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--big-only"],
+                [sys.executable, os.path.abspath(__file__)] + args_,
                 capture_output=True, text=True, timeout=remaining)
             for ln in (p.stdout or "").strip().splitlines():
                 if ln.startswith("{"):
-                    big_sps = round(json.loads(ln)["samples_per_sec"], 2)
+                    return round(json.loads(ln)["samples_per_sec"], 2)
         except (subprocess.SubprocessError, ValueError, KeyError):
             pass
+        return None
+
+    big_sps = run_extra(["--big-only"])
+    pam_sps = run_extra(["--dataset", "PAM"])
+    p12_sps = run_extra(["--dataset", "P12"])
     rnd = lambda v, n=2: None if v is None else round(v, n)  # noqa: E731
     print(json.dumps({
         "metric": "raindrop_p19_train_samples_per_sec",
@@ -276,5 +291,7 @@ if __name__ == "__main__":
         "step_ms": round(r["step_ms"], 3),
         "dispatched_step_ms": rnd(r["dispatched_step_ms"], 3),
         "bf16_b1024_samples_per_sec": big_sps,
+        "pam_train_samples_per_sec": pam_sps,
+        "p12_train_samples_per_sec": p12_sps,
         "backend": r["backend"],
     }))
