@@ -46,17 +46,22 @@ def _enable_compile_cache():
 
 
 def bench_train_step(dataset="P19", batch_size=128, iters=20, warmup=3,
-                     compute_dtype=None, deadline=None):
+                     compute_dtype=None, deadline=None,
+                     measure=("scan", "eval", "dispatched"),
+                     cfg_overrides=None):
     """deadline: optional time.time() timestamp — optional measurements
     (dispatched single-step, eval) are skipped once it passes, so one slow
-    tunnel compile can't blow the whole bench run."""
+    tunnel compile can't blow the whole bench run. measure: which regimes
+    to time ('scan' always runs; 'eval'/'dispatched' are opt-in so the
+    driver can order independent measurements across subprocesses)."""
     import jax
     import jax.numpy as jnp
     import optax
     from raindrop_tpu.config import dataset_config
     from raindrop_tpu.models.raindrop import raindrop_apply, raindrop_init
 
-    cfg = dataset_config(dataset, compute_dtype=compute_dtype)
+    cfg = dataset_config(dataset, compute_dtype=compute_dtype,
+                         **(cfg_overrides or {}))
     B, T, F = batch_size, cfg.max_len, cfg.d_inp
     rng = np.random.default_rng(0)
     mask = (rng.uniform(size=(B, T, F)) > 0.6).astype(np.float32)
@@ -129,40 +134,42 @@ def bench_train_step(dataset="P19", batch_size=128, iters=20, warmup=3,
     def time_left():
         return deadline is None or time.time() < deadline
 
-    # headline first — the scanned production path (1 compile), warmup via
-    # the first two calls, then `rounds` timed calls of `iters` steps each
-    _log(f"compiling scanned train step (B={batch_size}, "
-         f"dtype={compute_dtype or 'float32'})")
-    key = jax.random.PRNGKey(0)
-    for _ in range(2):
-        key, k = jax.random.split(key)
-        params, opt_state, loss = step_scan(params, opt_state, k)
-    jax.block_until_ready(loss)
-    _log("train scan compiled; measuring")
-    # 8 rounds of `iters` scanned steps (~170 ms) — long enough that
-    # per-dispatch tunnel jitter stays <1% of the window
-    rounds = 8
-    t0 = time.perf_counter()
-    for _ in range(rounds):
-        key, k = jax.random.split(key)
-        params, opt_state, loss = step_scan(params, opt_state, k)
-    jax.block_until_ready(loss)
-    dt = (time.perf_counter() - t0) / rounds
-
-    steps_per_sec = iters / dt
-    samples_per_sec = steps_per_sec * B
-    edges_per_sec = samples_per_sec * F * F * 2  # 2 propagation layers
     out = {
-        "samples_per_sec": samples_per_sec,
+        "samples_per_sec": None,
         "eval_samples_per_sec": None,
-        "edges_per_sec": edges_per_sec,
-        "step_ms": 1000.0 * dt / iters,
+        "edges_per_sec": None,
+        "step_ms": None,
         "dispatched_step_ms": None,
-        "loss": float(loss),
         "backend": jax.default_backend(),
     }
+    key = jax.random.PRNGKey(0)
+    if "scan" in measure:
+        # headline — the scanned production path (1 compile), warmup via
+        # the first two calls, then `rounds` timed calls of `iters` steps
+        _log(f"compiling scanned train step (B={batch_size}, "
+             f"dtype={compute_dtype or 'float32'})")
+        for _ in range(2):
+            key, k = jax.random.split(key)
+            params, opt_state, loss = step_scan(params, opt_state, k)
+        jax.block_until_ready(loss)
+        _log("train scan compiled; measuring")
+        # 8 rounds of `iters` scanned steps (~170 ms) — long enough that
+        # per-dispatch tunnel jitter stays <1% of the window
+        rounds = 8
+        t0 = time.perf_counter()
+        for _ in range(rounds):
+            key, k = jax.random.split(key)
+            params, opt_state, loss = step_scan(params, opt_state, k)
+        jax.block_until_ready(loss)
+        dt = (time.perf_counter() - t0) / rounds
 
-    if time_left():
+        samples_per_sec = iters / dt * B
+        out["samples_per_sec"] = samples_per_sec
+        out["edges_per_sec"] = samples_per_sec * F * F * 2  # 2 prop layers
+        out["step_ms"] = 1000.0 * dt / iters
+        out["loss"] = float(loss)
+
+    if "eval" in measure and time_left():
         _log("compiling scanned eval")
         jax.block_until_ready(eval_scan(params))
         eval_rounds = 8
@@ -173,7 +180,7 @@ def bench_train_step(dataset="P19", batch_size=128, iters=20, warmup=3,
         out["eval_samples_per_sec"] = (
             eval_rounds * iters * B / (time.perf_counter() - t1))
 
-    if time_left():
+    if "dispatched" in measure and time_left():
         _log("compiling dispatched single step")
         for _ in range(warmup):
             key, k = jax.random.split(key)
@@ -186,6 +193,51 @@ def bench_train_step(dataset="P19", batch_size=128, iters=20, warmup=3,
         jax.block_until_ready(loss)
         out["dispatched_step_ms"] = 1000.0 * (time.perf_counter() - t0) / iters
     return out
+
+
+def bench_serve(dataset="P19", n_single=100, batch=128):
+    """Serving SLOs on the chip (serve.py's AOT bucket path): p50/p99
+    single-request latency through the full predict() path (pad -> device
+    -> AOT runner -> host) and saturated bucket-`batch` throughput."""
+    import jax
+    from raindrop_tpu.config import dataset_config
+    from raindrop_tpu.models.raindrop import raindrop_init
+    from raindrop_tpu.serve import InferenceServer
+
+    cfg = dataset_config(dataset)
+    params = raindrop_init(jax.random.PRNGKey(0), cfg)
+    _log(f"serve: AOT-compiling buckets (1, {batch})")
+    srv = InferenceServer(cfg, params, buckets=(1, batch), precompile=True)
+    T, F = cfg.max_len, cfg.d_inp
+    rng = np.random.default_rng(0)
+
+    def mk(n):
+        mask = (rng.uniform(size=(n, T, F)) > 0.6).astype(np.float32)
+        P = np.concatenate(
+            [rng.normal(size=(n, T, F)).astype(np.float32) * mask, mask], -1)
+        tm = np.cumsum(rng.uniform(0.1, 1.0, size=(n, T)), 1).astype(np.float32)
+        st = (rng.normal(size=(n, cfg.d_static)).astype(np.float32)
+              if cfg.static else None)
+        return P, tm, st
+
+    P1, t1, s1 = mk(1)
+    for _ in range(5):
+        srv.predict(P1, t1, s1)
+    lats = []
+    for _ in range(n_single):
+        t0 = time.perf_counter()
+        srv.predict(P1, t1, s1)
+        lats.append(1e3 * (time.perf_counter() - t0))
+    Pb, tb, sb = mk(batch)
+    srv.predict(Pb, tb, sb)  # warm the top bucket
+    rounds = 20
+    t0 = time.perf_counter()
+    for _ in range(rounds):
+        srv.predict(Pb, tb, sb)
+    dt = time.perf_counter() - t0
+    return {"serve_p50_ms": float(np.percentile(lats, 50)),
+            "serve_p99_ms": float(np.percentile(lats, 99)),
+            "serve_b128_samples_per_sec": rounds * batch / dt}
 
 
 def bench_torch_reference(dataset="P19", batch_size=128, iters=3):
@@ -217,22 +269,40 @@ def bench_torch_reference(dataset="P19", batch_size=128, iters=3):
 
 if __name__ == "__main__":
     _enable_compile_cache()
+    # Subprocess modes: each optional measurement runs in its own bounded
+    # subprocess — compile time is tunnel-dependent (seconds to >10 min
+    # observed for identical programs), so the parent bounds each with a
+    # timeout rather than letting one starve the headline JSON. All share
+    # the persistent compile cache, so a warmed cache makes every mode
+    # near-instant to compile.
     if "--big-only" in sys.argv:
-        # subprocess mode for the optional large-batch bf16 extra: its
-        # compile time is tunnel-dependent (seconds to >10 min observed),
-        # so the parent bounds it with a subprocess timeout rather than
-        # letting it starve the headline JSON.
+        # large-batch bf16 mixed precision (MXU-native production ceiling)
         r = bench_train_step(batch_size=1024, compute_dtype="bfloat16",
-                             deadline=0)
+                             deadline=0, measure=("scan",))
         print(json.dumps({"samples_per_sec": r["samples_per_sec"]}))
         sys.exit(0)
     if "--dataset" in sys.argv:
-        # subprocess mode for per-dataset extras: PAM (T=600, 8-class,
-        # no static — exercises the Pallas flash-attention path) and P12
-        # (T=215, F=36 — the largest T*F product).
+        # per-dataset extras: PAM (T=600, 8-class, no static — exercises
+        # the Pallas flash-attention path) and P12 (T=215, F=36 — the
+        # largest T*F product).
         ds = sys.argv[sys.argv.index("--dataset") + 1]
-        r = bench_train_step(dataset=ds, deadline=0)
+        r = bench_train_step(dataset=ds, deadline=0, measure=("scan",))
         print(json.dumps({"samples_per_sec": r["samples_per_sec"]}))
+        sys.exit(0)
+    if "--dispatched-only" in sys.argv:
+        # per-step dispatch overhead regime (one jit call per step)
+        r = bench_train_step(deadline=None, measure=("dispatched",))
+        print(json.dumps({"dispatched_step_ms": r["dispatched_step_ms"]}))
+        sys.exit(0)
+    if "--use-beta-only" in sys.argv:
+        # the use_beta capability path (time-conditioned edge attention +
+        # top-50% pruning — the sparse/COO regime)
+        r = bench_train_step(deadline=0, measure=("scan",),
+                             cfg_overrides={"use_beta": True})
+        print(json.dumps({"samples_per_sec": r["samples_per_sec"]}))
+        sys.exit(0)
+    if "--serve-only" in sys.argv:
+        print(json.dumps(bench_serve()))
         sys.exit(0)
     if "--profile" in sys.argv:
         # capture an xprof trace of the steady-state scanned step
@@ -247,7 +317,7 @@ if __name__ == "__main__":
     # once the budget passes.
     t_start = time.time()
     budget = float(os.environ.get("RAINDROP_BENCH_BUDGET_S", "480"))
-    r = bench_train_step(deadline=t_start + budget)
+    r = bench_train_step(deadline=t_start + budget, measure=("scan", "eval"))
     # vs_baseline prefers the eval/eval comparison; if the budget cut the
     # eval measurement, fall back to TRAIN samples/s over the torch EVAL
     # baseline — strictly conservative (our train step does ~3x the work of
@@ -255,16 +325,14 @@ if __name__ == "__main__":
     vs = (round(r["eval_samples_per_sec"] / BASELINE_TORCH_SAMPLES_PER_SEC, 1)
           if r["eval_samples_per_sec"] else
           round(r["samples_per_sec"] / BASELINE_TORCH_SAMPLES_PER_SEC, 1))
-    # Scale-out point: large batch + bf16 mixed precision (MXU-native) shows
-    # the production-throughput ceiling rather than the reference's B=128.
-    # Run in a subprocess bounded by the remaining budget — its compile is
-    # occasionally pathologically slow on the tunnel, and the headline JSON
-    # must print regardless.
-    def run_extra(args_):
-        """One bounded subprocess measurement; None on timeout/failure."""
+
+    def run_extra(args_, keys=("samples_per_sec",)):
+        """One bounded subprocess measurement; dict of keys (None values
+        on timeout/failure)."""
+        out = {k: None for k in keys}
         remaining = t_start + budget - time.time()
         if remaining < 60 or os.environ.get("RAINDROP_BENCH_EXTRAS", "1") == "0":
-            return None
+            return out
         import subprocess
         try:
             p = subprocess.run(
@@ -272,14 +340,25 @@ if __name__ == "__main__":
                 capture_output=True, text=True, timeout=remaining)
             for ln in (p.stdout or "").strip().splitlines():
                 if ln.startswith("{"):
-                    return round(json.loads(ln)["samples_per_sec"], 2)
-        except (subprocess.SubprocessError, ValueError, KeyError):
+                    d = json.loads(ln)
+                    return {k: d.get(k) for k in keys}
+        except (subprocess.SubprocessError, ValueError):
             pass
-        return None
+        return out
 
-    big_sps = run_extra(["--big-only"])
-    pam_sps = run_extra(["--dataset", "PAM"])
-    p12_sps = run_extra(["--dataset", "P12"])
+    # Extras in priority order (each bounded by the remaining budget):
+    # PAM first — the flash-attention regime is the single most
+    # informative extra — then P12, bf16 ceiling, dispatch overhead,
+    # the use_beta sparse path, and serving SLOs.
+    pam_sps = run_extra(["--dataset", "PAM"])["samples_per_sec"]
+    p12_sps = run_extra(["--dataset", "P12"])["samples_per_sec"]
+    big_sps = run_extra(["--big-only"])["samples_per_sec"]
+    disp_ms = run_extra(["--dispatched-only"],
+                        keys=("dispatched_step_ms",))["dispatched_step_ms"]
+    beta_sps = run_extra(["--use-beta-only"])["samples_per_sec"]
+    serve = run_extra(["--serve-only"],
+                      keys=("serve_p50_ms", "serve_p99_ms",
+                            "serve_b128_samples_per_sec"))
     rnd = lambda v, n=2: None if v is None else round(v, n)  # noqa: E731
     print(json.dumps({
         "metric": "raindrop_p19_train_samples_per_sec",
@@ -289,9 +368,13 @@ if __name__ == "__main__":
         "eval_samples_per_sec": rnd(r["eval_samples_per_sec"]),
         "edges_per_sec": round(r["edges_per_sec"]),
         "step_ms": round(r["step_ms"], 3),
-        "dispatched_step_ms": rnd(r["dispatched_step_ms"], 3),
-        "bf16_b1024_samples_per_sec": big_sps,
-        "pam_train_samples_per_sec": pam_sps,
-        "p12_train_samples_per_sec": p12_sps,
+        "dispatched_step_ms": rnd(disp_ms, 3),
+        "bf16_b1024_samples_per_sec": rnd(big_sps),
+        "pam_train_samples_per_sec": rnd(pam_sps),
+        "p12_train_samples_per_sec": rnd(p12_sps),
+        "use_beta_train_samples_per_sec": rnd(beta_sps),
+        "serve_p50_ms": rnd(serve["serve_p50_ms"], 3),
+        "serve_p99_ms": rnd(serve["serve_p99_ms"], 3),
+        "serve_b128_samples_per_sec": rnd(serve["serve_b128_samples_per_sec"]),
         "backend": r["backend"],
     }))

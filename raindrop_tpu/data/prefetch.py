@@ -100,25 +100,38 @@ class PrefetchExecutor:
                 if self._to_device is not None:
                     batch = self._to_device(batch)
                 # blocking put bounds memory; poll so close() can interrupt
-                while not self._stop.is_set():
-                    try:
-                        self._q.put(batch, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
-            if not self._stop.is_set():
-                self._q.put(_SENTINEL)
+                self._put_or_stop(batch)
+            self._put_or_stop(_SENTINEL)
         except BaseException as e:  # noqa: BLE001 — propagate to consumer
+            # Same stop-checked retry loop as the batch put: the exception
+            # (or nothing, if the consumer already called close()) always
+            # reaches the queue — a one-shot put(timeout=1) could drop it
+            # and leave the consumer blocked on a queue that never ends.
+            self._put_or_stop(e)
+
+    def _put_or_stop(self, item) -> None:
+        while not self._stop.is_set():
             try:
-                self._q.put(e, timeout=1.0)
+                self._q.put(item, timeout=0.1)
+                return
             except queue.Full:
-                pass
+                continue
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         return self
 
     def __next__(self) -> Dict[str, np.ndarray]:
-        item = self._q.get()
+        # Timed get + liveness check: after close() (or a dead producer that
+        # somehow enqueued nothing) no sentinel will ever arrive, so an
+        # unbounded get() would hang; instead treat "stopped/dead producer
+        # and empty queue" as exhaustion.
+        while True:
+            try:
+                item = self._q.get(timeout=0.2)
+                break
+            except queue.Empty:
+                if self._stop.is_set() or not self._thread.is_alive():
+                    raise StopIteration from None
         if item is _SENTINEL:
             self._thread.join(timeout=5.0)
             raise StopIteration

@@ -16,12 +16,18 @@ import numpy as np
 
 def _train_test_split(data: np.ndarray, train_size: float = 0.8,
                       seed: int = 42) -> Tuple[np.ndarray, np.ndarray]:
-    """Shuffled split matching sklearn's train_test_split semantics
-    (fixed permutation, first ceil(n*train) rows are train)."""
+    """Shuffled split replicating sklearn ShuffleSplit ordering: the TEST
+    indices come from the FRONT of the permutation (n_test = ceil of the
+    test fraction, n_train = floor of the train fraction), train follows —
+    so split membership matches the reference's
+    model_selection.train_test_split(random_state=42) given the same RNG
+    stream. (numpy's RandomState.permutation is what sklearn's
+    check_random_state(42) bottoms out in.)"""
     n = data.shape[0]
     perm = np.random.RandomState(seed).permutation(n)
-    n_train = int(np.ceil(n * train_size))
-    return data[perm[:n_train]], data[perm[n_train:]]
+    n_test = int(np.ceil(n * (1.0 - train_size)))
+    n_train = int(np.floor(n * train_size))
+    return data[perm[n_test:n_test + n_train]], data[perm[:n_test]]
 
 
 def irregularly_sampled_data_gen(n: int = 10, length: int = 20,

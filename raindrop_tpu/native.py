@@ -68,10 +68,21 @@ def _load() -> Optional[ctypes.CDLL]:
             return None
         lib.rd_abi_version.restype = ctypes.c_int
         if lib.rd_abi_version() != _ABI_VERSION:
-            # stale build from an older source tree — rebuild once
+            # Stale build from an older source tree — rebuild once. dlopen
+            # caches by pathname, so re-CDLLing _LIB_PATH would hand back
+            # the already-mapped stale image; load the rebuilt library
+            # under a versioned filename instead.
             if not ensure_built(force=True):
                 return None
-            lib = ctypes.CDLL(_LIB_PATH)
+            vers_path = os.path.join(_NATIVE_DIR,
+                                     f"librdhost.abi{_ABI_VERSION}.so")
+            try:
+                import shutil
+
+                shutil.copy2(_LIB_PATH, vers_path)
+                lib = ctypes.CDLL(vers_path)
+            except OSError:
+                return None
             lib.rd_abi_version.restype = ctypes.c_int
             if lib.rd_abi_version() != _ABI_VERSION:
                 return None
@@ -148,6 +159,16 @@ def build_delta(mask: np.ndarray, times: np.ndarray) -> np.ndarray:
     return out
 
 
+def _check_bounds(idx: np.ndarray, n: int) -> None:
+    """The C gathers do raw pointer arithmetic — an out-of-range index
+    would segfault instead of raising like the numpy fallback; validate
+    here (O(B), negligible next to the gather itself)."""
+    if idx.size and (idx.min() < 0 or idx.max() >= n):
+        raise IndexError(
+            f"gather index out of bounds for axis of size {n}: "
+            f"[{int(idx.min())}, {int(idx.max())}]")
+
+
 def gather_rows(P: np.ndarray, idx: np.ndarray) -> np.ndarray:
     """Native batched row gather: out[b] = P[idx[b]] for any [N, ...]
     float32 array (rows are the flattened trailing dims)."""
@@ -155,6 +176,7 @@ def gather_rows(P: np.ndarray, idx: np.ndarray) -> np.ndarray:
     assert lib is not None, "native library unavailable"
     P = np.ascontiguousarray(P, np.float32)
     idx = np.ascontiguousarray(idx, np.int64)
+    _check_bounds(idx, P.shape[0])
     rowlen = int(np.prod(P.shape[1:], dtype=np.int64))
     out = np.empty((len(idx),) + P.shape[1:], np.float32)
     lib.rd_gather_rows(P.reshape(P.shape[0], -1), rowlen, idx, len(idx),
@@ -170,6 +192,7 @@ def gather_time_major(P: np.ndarray, idx: np.ndarray) -> np.ndarray:
     P = np.ascontiguousarray(P, np.float32)
     idx = np.ascontiguousarray(idx, np.int64)
     N, T, C = P.shape
+    _check_bounds(idx, N)
     out = np.empty((T, len(idx), C), np.float32)
     lib.rd_gather_time_major(P, T, C, idx, len(idx), out)
     return out

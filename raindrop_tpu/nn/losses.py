@@ -66,6 +66,15 @@ def per_timestep_ce(label_predictions, true_label_onehot, mask):
     mTAND/utils.py:818-829): timesteps with no observation in any feature
     are excluded; labels arrive one-hot and are argmaxed.
 
+    DELIBERATE DEVIATION from the reference: compute_pertp_loss has a
+    broadcasting bug — it multiplies a [N] CE vector by a [N,1] mask,
+    producing an [N,N] matrix, so its "masked mean" actually evaluates to
+    the UNMASKED sum of CE divided by the mask count: invalid timesteps
+    still contribute loss. We compute the intended masked mean
+    (sum(ce*valid)/sum(valid)), so loss curves are not numerically
+    comparable to reference mTAND runs on this objective. See
+    DEVIATIONS.md.
+
     label_predictions: [B, L, C] logits; true_label_onehot: [B, L, C];
     mask: [B, L, D] observation mask.
     """

@@ -30,13 +30,14 @@ class ReduceLROnPlateau:
         self.num_bad_epochs = 0
 
     def _is_better(self, metric: float) -> bool:
+        # Exactly torch's _is_better for threshold_mode='rel' — including
+        # its behavior for NEGATIVE best values (no sign special-casing:
+        # max-mode bound is always best*(1+threshold), which for best<0 is
+        # slightly below best). Fuzz-verified against torch across signs,
+        # ties and patience values in test_training_dynamics_parity.py.
         if self.mode == "max":
-            bound = self.best * (1.0 + self.threshold) if self.best >= 0 \
-                else self.best * (1.0 - self.threshold)
-            return metric > bound
-        bound = self.best * (1.0 - self.threshold) if self.best >= 0 \
-            else self.best * (1.0 + self.threshold)
-        return metric < bound
+            return metric > self.best * (1.0 + self.threshold)
+        return metric < self.best * (1.0 - self.threshold)
 
     def step(self, metric: float) -> float:
         """Record one epoch's metric; returns the (possibly reduced) LR."""

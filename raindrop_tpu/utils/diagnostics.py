@@ -26,19 +26,29 @@ import numpy as np
 
 
 def enable_persistent_compile_cache(
-        cache_dir: str = "/tmp/raindrop_jax_cache",
+        cache_dir: Optional[str] = None,
         min_compile_secs: float = 1.0) -> bool:
     """Turn on XLA's on-disk compilation cache.
 
     Compile latency on tunneled/offloaded TPU backends varies by an order
-    of magnitude run to run for identical programs; the persistent cache
-    makes every entry point (CLI, serving, bench) compile once per code
-    version. Called by run.py, serve.py, bench.py and __graft_entry__ —
-    NOT at library import (a library must not mutate global jax config).
+    of magnitude run to run for identical programs (observed: seconds to
+    >10 min for the same scanned train step); the persistent cache makes
+    every entry point (CLI, serving, bench) compile once per code version.
+    Called by run.py, serve.py, bench.py and __graft_entry__ — NOT at
+    library import (a library must not mutate global jax config).
+
+    The default directory is `.jax_cache/` at the repository root — a
+    DURABLE location (unlike /tmp) so warm entries survive reboots and a
+    later cold-start bench run pays no tunnel-compile tax. Override with
+    $JAX_COMPILATION_CACHE_DIR or the cache_dir argument.
     Returns False if the running jax has no such config (never raises).
     """
     import os
 
+    if cache_dir is None:
+        repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        cache_dir = os.path.join(repo_root, ".jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir",
                           os.environ.get("JAX_COMPILATION_CACHE_DIR",
