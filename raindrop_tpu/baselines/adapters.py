@@ -6,12 +6,14 @@ Here one Trainer runs them all: each adapter maps the canonical batch
 contract — apply(params, src [T,B,2F], static, times [T,B], lengths,
 train, rng) -> (logits, aux) — onto the baseline's native inputs.
 
-Loss conventions: CrossEntropy on n_classes logits for all models (the
-reference's GRU-D P12 path uses scalar sigmoid + BCELoss,
-GRU-D_baseline.py:289 — an equivalent objective; we keep the uniform CE
-head). IP-Net adds its autoencoder reconstruction as `aux`, weighted into
-the loss by TrainConfig.aux_loss_weight (the reference trains main+aux
-jointly, IP_Net_baseline.py:97-118).
+Loss conventions: CrossEntropy on n_classes logits for all models. The
+reference's GRU-D P12 path uses scalar sigmoid + BCELoss
+(GRU-D_baseline.py:289); the 'grud_bce' adapter reproduces that objective
+exactly via the [0, z] logit embedding, while plain 'grud' keeps the
+uniform CE head (DEVIATIONS.md #3). IP-Net adds its autoencoder
+reconstruction as `aux`, weighted into the loss by
+TrainConfig.aux_loss_weight (the reference trains main+aux jointly,
+IP_Net_baseline.py:97-118).
 """
 
 from __future__ import annotations
@@ -67,12 +69,23 @@ def make_baseline(name: str, cfg: RaindropConfig
                 raindrop_v1_apply(p, cfg, src, st, tm, ln,
                                   train=train, rng=rng))
 
-    if name == "grud":
+    if name in ("grud", "grud_bce"):
         from raindrop_tpu.baselines.grud import (
             build_delta, grud_apply, grud_init)
 
+        # 'grud_bce' reproduces the reference's P12/P19 objective EXACTLY:
+        # a single sigmoid output trained with BCELoss
+        # (code/baselines/GRU-D_baseline.py:289). The scalar logit z is
+        # emitted as the 2-class vector [0, z], for which the Trainer's
+        # softmax CE equals BCE-with-logits on z (softmax([0,z])[1] ==
+        # sigmoid(z)) — same gradients, same trained function, and every
+        # downstream metric path works unchanged. Plain 'grud' keeps the
+        # uniform n-class CE head used across all baselines (DEVIATIONS.md
+        # #3).
+        bce = name == "grud_bce"
+
         def init(key):
-            return grud_init(key, F, cfg.n_classes)
+            return grud_init(key, F, 1 if bce else cfg.n_classes)
 
         def apply(p, src, st, tm, ln, train, rng):
             x = src[:, :, :F].transpose(1, 0, 2)        # [B, T, F]
@@ -81,6 +94,8 @@ def make_baseline(name: str, cfg: RaindropConfig
             out, _ = grud_apply(p, x, m, delta,
                                 dropout_rate=cfg.dropout,
                                 train=train, rng=rng)
+            if bce:
+                out = jnp.concatenate([jnp.zeros_like(out), out], axis=-1)
             return out, jnp.zeros(())
 
         return init, apply

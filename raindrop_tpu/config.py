@@ -125,6 +125,14 @@ class TrainConfig:
     # reconstruction here; Raindrop's alpha-distance stays excluded at 0.0
     # like the reference, code/Raindrop.py:319-322)
     aux_loss_weight: float = 0.0
+    # print parameters left bitwise-unchanged by the first epoch — the
+    # reference GRU-D driver's frozen-parameter state-dict diff
+    # (code/baselines/GRU-D_baseline.py:286-288,355-363)
+    diag_frozen_params: bool = False
+    # re-randomize the train/val/test partition for every run within a
+    # split — the mTAND per-run resplit protocol
+    # (code/baselines/mTAND/mTAND_baseline.py:72-88 + utils.get_data)
+    resplit_per_run: bool = False
 
 
 # Per-dataset presets, reference code/Raindrop.py:109-148.

@@ -112,6 +112,7 @@ def load_split(
     predictive_label: str = "mortality",
     static_compat: bool = True,
     rng: Optional[np.random.Generator] = None,
+    resplit_seed: Optional[int] = None,
 ) -> Split:
     """Load, split, and normalize a real dataset (reference
     code/utils_rd.py:23-146 + code/Raindrop.py:181-211).
@@ -121,13 +122,26 @@ def load_split(
     code/utils_rd.py:106-127; the producer logic is the commented block at
     :44-72, reproduced in settings.demographic_indices) with val/test =
     shuffled halves of the held-out group.
+
+    resplit_seed: instead of the fixed split file, draw a fresh seeded
+    random 8:1:1 permutation — the mTAND per-run-resplit protocol
+    (code/baselines/mTAND/mTAND_baseline.py:72-88 re-calls get_data per
+    run). Normalization stats are recomputed from the new train portion.
     """
     from raindrop_tpu.data.settings import demographic_indices
 
     Pdict_list, arr_outcomes = load_raw(base_path, dataset)
     y = _select_label(arr_outcomes, dataset, predictive_label)
 
-    if split_type == "random":
+    if resplit_seed is not None:
+        if split_type != "random":
+            raise ValueError("resplit_seed only applies to split_type='random'")
+        n = len(y)
+        perm = np.random.default_rng(resplit_seed).permutation(n)
+        n_tr, n_va = round(n * 0.8), round(n * 0.1)
+        idx_train, idx_val, idx_test = (
+            perm[:n_tr], perm[n_tr:n_tr + n_va], perm[n_tr + n_va:])
+    elif split_type == "random":
         idx_train, idx_val, idx_test = load_split_indices(base_path, dataset, split_idx)
     else:
         if dataset == "PAM":

@@ -45,7 +45,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", default="raindrop",
                    choices=["raindrop", "raindrop_v1", "transformer",
                             "transformer_ctx", "transformer_moe", "seft",
-                            "grud", "mtand", "mtgnn", "dgm2", "ipnet"])
+                            "grud", "grud_bce", "mtand", "mtgnn", "dgm2",
+                            "ipnet"])
     p.add_argument("--use-beta", type=str2bool, default=False)
     p.add_argument("--sensor-wise-mask", type=str2bool, default=False)
     p.add_argument("--epochs", type=int, default=20)
@@ -60,6 +61,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use N synthetic samples instead of real data")
     p.add_argument("--data-parallel", type=int, default=0,
                    help="devices on the mesh 'data' axis (0 = no mesh)")
+    p.add_argument("--resplit-per-run", type=str2bool, default=False,
+                   help="re-randomize the 8:1:1 partition for every run "
+                        "(the mTAND protocol, mTAND_baseline.py:72-88)")
+    p.add_argument("--diag-frozen-params", type=str2bool, default=False,
+                   help="print params unchanged by the first epoch "
+                        "(GRU-D_baseline.py:355-363)")
     p.add_argument("--checkpoint-dir", default="checkpoints")
     p.add_argument("--log-path", default=None)
     p.add_argument("--out-json", default=None,
@@ -111,19 +118,26 @@ def main(argv=None) -> int:
             feature_removal_level=args.feature_removal_level,
             missing_ratio=mr, predictive_label=args.predictive_label,
             seed=args.seed, checkpoint_dir=args.checkpoint_dir,
-            log_path=args.log_path)
+            log_path=args.log_path,
+            resplit_per_run=args.resplit_per_run,
+            diag_frozen_params=args.diag_frozen_params)
 
-        def make_split(k, _mr=mr):
+        def make_split(k, _mr=mr, run=0):
+            # per-run seed only moves the partition under --resplit-per-run
+            resplit = (args.seed * 1000 + 101 * run + k
+                       if args.resplit_per_run else None)
             if args.synthetic:
                 sp = synthetic_split(args.dataset, n=args.synthetic,
-                                     seed=args.seed * 1000 + k)
+                                     seed=(resplit if resplit is not None
+                                           else args.seed * 1000 + k))
             else:
                 if not args.data_root:
                     raise SystemExit("--data-root or --synthetic required")
                 sp = load_split(args.data_root, args.dataset, k,
                                 split_type=args.splittype,
                                 reverse=args.reverse,
-                                predictive_label=args.predictive_label)
+                                predictive_label=args.predictive_label,
+                                resplit_seed=resplit)
             if _mr > 0:
                 rng = np.random.default_rng(args.seed * 100 + k)
                 if args.feature_removal_level == "sample":
@@ -146,8 +160,18 @@ def main(argv=None) -> int:
                               apply_fn=apply_fn, init_fn=init_fn)
             per_split = []
             for k in range(1, tcfg.n_splits + 1):
-                res = trainer.train_split(make_split(k))
-                per_split.append(res.test_metrics)
+                # n_runs per split, best run by AUPRC — the reference
+                # baselines' aggregation (e.g. mTAND_baseline.py:72-88 with
+                # per-run resplits; Raindrop.py:417-421 for best-by-AUPRC)
+                runs = []
+                base_sp = None if args.resplit_per_run else make_split(k)
+                for m in range(tcfg.n_runs):
+                    sp = (make_split(k, run=m) if args.resplit_per_run
+                          else base_sp)
+                    runs.append(trainer.train_split(sp, seed=tcfg.seed + m))
+                per_split.append(
+                    max(runs, key=lambda r: r.test_metrics["auprc"])
+                    .test_metrics)
             summary = {
                 name: {"mean": float(np.mean([m[name] for m in per_split]) * 100),
                        "std": float(np.std([m[name] for m in per_split]) * 100)}

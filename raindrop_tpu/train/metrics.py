@@ -43,6 +43,37 @@ def softmax_probs(logits: np.ndarray) -> np.ndarray:
     return e / e.sum(axis=1, keepdims=True)
 
 
+def confusion_matrix_np(y: np.ndarray, ypred: np.ndarray,
+                        labels) -> np.ndarray:
+    """Confusion matrix C[i, j] = #samples with true label labels[i]
+    predicted labels[j] — sklearn.metrics.confusion_matrix semantics
+    (parity-tested), pure numpy so it needs no sklearn on the hot path.
+
+    The reference prints this at the first/last train epoch with hard-coded
+    labels=[0, 1] (code/Raindrop.py:341-342) and at test with
+    labels=range(n_classes) (code/Raindrop.py:406).
+    """
+    labels = np.asarray(labels)
+    n = len(labels)
+    pos = {int(v): i for i, v in enumerate(labels)}
+    C = np.zeros((n, n), np.int64)
+    for t, p in zip(np.asarray(y).reshape(-1), np.asarray(ypred).reshape(-1)):
+        ti, pi = pos.get(int(t)), pos.get(int(p))
+        if ti is not None and pi is not None:
+            C[ti, pi] += 1
+    return C
+
+
+def classification_report_str(y: np.ndarray, ypred: np.ndarray) -> str:
+    """sklearn classification_report text (per-class P/R/F1/support) — the
+    reference's test-time diagnostic (code/Raindrop.py:405)."""
+    from sklearn.metrics import classification_report
+
+    return classification_report(np.asarray(y).reshape(-1),
+                                 np.asarray(ypred).reshape(-1),
+                                 zero_division=0)
+
+
 def classification_metrics(
     logits: np.ndarray,
     y: np.ndarray,

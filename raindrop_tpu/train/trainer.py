@@ -50,6 +50,9 @@ class TrainResult:
     history: List[Dict[str, Any]]
     samples_per_sec: float
     params: Any = None
+    # reference test-time diagnostics (code/Raindrop.py:405-406)
+    test_confusion: Any = None          # [n_classes, n_classes] int array
+    test_report: str = ""               # sklearn classification_report text
 
 
 class Trainer:
@@ -131,13 +134,13 @@ class Trainer:
                          "y": data["y"][ib]}
                 if "static" in data:
                     batch["static"] = data["static"][ib]
-                params, opt_state, loss, _ = train_step(
+                params, opt_state, loss, logits = train_step(
                     params, opt_state, batch, key)
-                return (params, opt_state), loss
+                return (params, opt_state), (loss, logits)
 
-            (params, opt_state), losses = jax.lax.scan(
+            (params, opt_state), (losses, logits) = jax.lax.scan(
                 body, (params, opt_state), (idx, keys))
-            return params, opt_state, losses
+            return params, opt_state, losses, logits[-1]
 
         def eval_step(params, batch):
             src = batch["P"].transpose(1, 0, 2)
@@ -264,6 +267,8 @@ class Trainer:
             history = meta.get("history", [])
 
         t0 = time.time()
+        params_snapshot = (jax.device_get(params)
+                           if tcfg.diag_frozen_params else None)
 
         # Single-device fast path: keep the split resident on device and run
         # each epoch as ONE scanned dispatch (see train_epoch in _build).
@@ -283,10 +288,11 @@ class Trainer:
                     split.ytrain, tcfg.batch_size, strategy, rng_np,
                     n_batches=n_batches)))
                 key, ek = jax.random.split(key)
-                params, opt_state, losses = self._train_epoch(
+                params, opt_state, losses, logits = self._train_epoch(
                     params, opt_state, train_dev, jnp.asarray(idx),
                     jax.random.split(ek, idx.shape[0]))
                 loss = losses[-1]
+                last_idx = idx[-1]
                 n_samples_done += idx.size
             else:
                 for idx in balanced_batches(split.ytrain, tcfg.batch_size,
@@ -300,6 +306,25 @@ class Trainer:
                     params, opt_state, loss, logits = self._train_step(
                         params, opt_state, batch, step_key)
                     n_samples_done += len(idx)
+                last_idx = idx
+
+            # last-batch train confusion matrix at the first/last epoch —
+            # the reference's in-training sanity print with its hard-coded
+            # labels=[0, 1] (code/Raindrop.py:341-342)
+            if verbose and epoch in (start_epoch, tcfg.num_epochs - 1):
+                from raindrop_tpu.train.metrics import confusion_matrix_np
+                ypred_tr = np.argmax(np.asarray(jax.device_get(logits)), 1)
+                print(confusion_matrix_np(split.ytrain[last_idx], ypred_tr,
+                                          labels=[0, 1]))
+
+            # frozen-parameter diff after the first epoch (the reference
+            # GRU-D driver's 'Not updated in <name>' diagnostic,
+            # code/baselines/GRU-D_baseline.py:355-363)
+            if params_snapshot is not None and epoch == start_epoch:
+                from raindrop_tpu.utils.diagnostics import frozen_param_report
+                for name in frozen_param_report(params_snapshot, params):
+                    print(f"Not updated in {name}")
+                params_snapshot = None
 
             # --- validation (every epoch, reference code/Raindrop.py:344-374)
             val_logits = self.predict(params, split.Pval, split.Pval_time,
@@ -350,11 +375,22 @@ class Trainer:
                                    split.Ptest_static)
         test = classification_metrics(test_logits, split.ytest, cfg.n_classes,
                                       prob_mode="softmax")
+        # test-time diagnostics (code/Raindrop.py:405-406): per-class
+        # report + confusion matrix over all classes
+        from raindrop_tpu.train.metrics import (
+            classification_report_str, confusion_matrix_np)
+        ypred = np.argmax(test_logits, axis=1)
+        confusion = confusion_matrix_np(split.ytest, ypred,
+                                        labels=range(cfg.n_classes))
+        report = classification_report_str(split.ytest, ypred)
+        if verbose:
+            print("classification report\n" + report)
+            print(confusion)
         return TrainResult(
             test_metrics=test, best_val_auroc=best["auroc"],
             best_val_auprc=best["auprc"], history=history,
             samples_per_sec=n_samples_done / max(elapsed, 1e-9),
-            params=test_params)
+            params=test_params, test_confusion=confusion, test_report=report)
 
 
 def run_splits(make_split, cfg: RaindropConfig, tcfg: TrainConfig, *,
@@ -363,22 +399,28 @@ def run_splits(make_split, cfg: RaindropConfig, tcfg: TrainConfig, *,
     best run per split by AUPRC, then mean±std over splits
     (reference code/Raindrop.py:417-446).
 
-    make_split: callable split_idx (1-based) -> Split.
+    make_split: callable split_idx (1-based) -> Split. With
+    tcfg.resplit_per_run (the mTAND protocol,
+    code/baselines/mTAND/mTAND_baseline.py:72-88) it is instead called as
+    make_split(split_idx, run=m) for every run, and must re-randomize the
+    partition per run.
     """
     trainer = Trainer(cfg, tcfg, mesh=mesh)
     log_file = open(tcfg.log_path, "a") if tcfg.log_path else None
     per_split: List[Dict[str, float]] = []
     try:
         for k in range(1, tcfg.n_splits + 1):
-            split = make_split(k)
+            split = None if tcfg.resplit_per_run else make_split(k)
             runs = []
             for m in range(tcfg.n_runs):
                 if verbose:
                     print(f"--- split {k} run {m + 1} ---")
+                split_m = (make_split(k, run=m) if tcfg.resplit_per_run
+                           else split)
                 ckpt = os.path.join(tcfg.checkpoint_dir,
                                     f"raindrop_{tcfg.dataset}_s{k}_r{m}")
                 res = trainer.train_split(
-                    split, seed=tcfg.seed + m, log_file=log_file,
+                    split_m, seed=tcfg.seed + m, log_file=log_file,
                     checkpoint_path=ckpt, verbose=verbose)
                 runs.append(res)
             best_run = max(runs, key=lambda r: r.test_metrics["auprc"])

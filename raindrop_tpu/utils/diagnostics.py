@@ -87,6 +87,31 @@ def nan_guard(tree, name: str = "tree", raise_error: bool = True
     return bad
 
 
+def frozen_param_report(old_params, new_params) -> list:
+    """Paths of parameters that did NOT change between two pytrees.
+
+    The moral descendant of the reference GRU-D driver's state-dict diff
+    (code/baselines/GRU-D_baseline.py:286-288,355-363: snapshot every
+    tensor before training, print 'Not updated in <name>' for any that is
+    bitwise unchanged after an epoch) — the cheap way to catch dead
+    parameters, a broken optimizer mask, or a detached computation path.
+    Host-side; call it on device_get'd params every N epochs.
+
+    Note: for Raindrop itself a nonempty report is EXPECTED — the reference
+    model carries dead parameters that torch Adam never updates and our
+    optimizer mask deliberately freezes (models/raindrop.raindrop_param_mask).
+    """
+    frozen = []
+    old_leaves = jax.tree_util.tree_flatten_with_path(old_params)[0]
+    new_map = dict(jax.tree_util.tree_flatten_with_path(new_params)[0])
+    for path, leaf in old_leaves:
+        a = np.asarray(jax.device_get(leaf))
+        b = np.asarray(jax.device_get(new_map[path]))
+        if a.shape == b.shape and np.array_equal(a, b):
+            frozen.append(jax.tree_util.keystr(path))
+    return frozen
+
+
 @contextlib.contextmanager
 def debug_nan_context() -> Iterator[None]:
     """Enable jax_debug_nans inside the scope (recompiles; debugging only)."""
