@@ -93,7 +93,12 @@ def _cross_channel_interp(params, x, *, reconstruction: bool = False):
     y = x[:, :F].transpose(0, 2, 1)                   # [B, R, F]
     w = x[:, F:2 * F].transpose(0, 2, 1)
     intensity = jnp.exp(w)
-    den = jax.nn.logsumexp(w, axis=1, keepdims=True)  # softmax over time R
+    # softmax over CHANNELS: the reference tiles w to [B, out, F, F] and
+    # logsumexps axis=2 — the channel axis, NOT time
+    # (interpolation_layer.py:104-107; axis verified against the
+    # independent numpy transcription in tests/test_ipnet_numpy_oracle.py,
+    # which caught the previous over-time normalization)
+    den = jax.nn.logsumexp(w, axis=-1, keepdims=True)  # [B, R, 1]
     w_norm = jnp.exp(w - den)
     mean = jnp.mean(y, axis=1, keepdims=True)
     mixed = (w_norm * (y - mean)) @ params["cci_w"] + mean

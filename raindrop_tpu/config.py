@@ -50,6 +50,11 @@ class RaindropConfig:
     # None => compute in `dtype` (the parity default).
     compute_dtype: Optional[str] = None
     attention_backend: str = "auto"  # 'auto' | 'dense' | 'flash' (Pallas)
+    # graph-propagation backend: 'auto' = batched dense/masked-dense
+    # formulations for the default complete graph (both use_beta paths);
+    # 'coo' forces the vmapped per-sample XLA COO path (the semantics
+    # oracle — always used when a custom global_adj is passed)
+    prop_backend: str = "auto"   # 'auto' | 'coo'
 
     @property
     def d_model(self) -> int:

@@ -33,6 +33,7 @@ from raindrop_tpu.graph.propagate import (
     ob_propagate_coo,
     ob_propagate_dense_complete,
     ob_propagation_init,
+    raindrop_propagate_beta_dense,
 )
 from raindrop_tpu.graph.structure import complete_graph_edges
 from raindrop_tpu.nn.init import glorot, tiny_uniform, torch_linear_params
@@ -173,7 +174,8 @@ def raindrop_apply(
 
     # --- graph propagation, 2 layers (code/models_rd.py:306-343) ---
     x_nodes = _to_node_features(h_b, F_, d_ob)             # [B, F, T*d_ob]
-    if global_adj is None and not cfg.use_beta:
+    dense_ok = global_adj is None and cfg.prop_backend != "coo"
+    if dense_ok and not cfg.use_beta:
         # Complete all-ones graph (code/Raindrop.py:212): dense fast path.
         adj = jnp.ones((F_, F_), dtype)
         out1, alpha1 = ob_propagate_dense_complete(
@@ -185,6 +187,17 @@ def raindrop_apply(
             params["ob_propagation_layer2"], out1, adj2,
             dropout_rate=cfg.prop_dropout, rng=r_prop2, train=train)
         alpha_all = alpha2                                  # [B, F*F]
+    elif dense_ok and cfg.use_beta:
+        # β/edge-pruning capability path, batched dense formulation —
+        # exactly equal to the vmapped COO oracle below (tested), 22x
+        # faster at P19 train scale (graph/propagate.py:
+        # raindrop_propagate_beta_dense).
+        adj = jnp.ones((F_, F_), dtype)
+        out2, alpha_all = raindrop_propagate_beta_dense(
+            params["ob_propagation"], params["ob_propagation_layer2"],
+            x_nodes, pe_b, adj, ob_dim=d_ob,
+            dropout_rate=cfg.prop_dropout,
+            rng=jax.random.fold_in(r_prop1, 1), train=train)
     else:
         edge_index, edge_weights = complete_graph_edges(F_)
         if global_adj is not None:

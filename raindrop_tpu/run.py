@@ -67,6 +67,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--diag-frozen-params", type=str2bool, default=False,
                    help="print params unchanged by the first epoch "
                         "(GRU-D_baseline.py:355-363)")
+    p.add_argument("--resume-from", default=None, metavar="CKPT",
+                   help="resume mid-run from a <ckpt>_last full-state "
+                        "checkpoint (params+opt+scheduler+RNG+epoch) — the "
+                        "capability mTAND's --fname resume approximates "
+                        "(mTAND_baseline.py:117-121); applies to the first "
+                        "split/run trained")
     p.add_argument("--checkpoint-dir", default="checkpoints")
     p.add_argument("--log-path", default=None)
     p.add_argument("--out-json", default=None,
@@ -154,7 +160,8 @@ def main(argv=None) -> int:
 
         init_fn, apply_fn = make_model_fns(args, cfg)
         if init_fn is None:
-            results = run_splits(make_split, cfg, tcfg, mesh=mesh)
+            results = run_splits(make_split, cfg, tcfg, mesh=mesh,
+                                 resume_from=args.resume_from)
         else:
             trainer = Trainer(cfg, tcfg, mesh=mesh,
                               apply_fn=apply_fn, init_fn=init_fn)
@@ -168,7 +175,10 @@ def main(argv=None) -> int:
                 for m in range(tcfg.n_runs):
                     sp = (make_split(k, run=m) if args.resplit_per_run
                           else base_sp)
-                    runs.append(trainer.train_split(sp, seed=tcfg.seed + m))
+                    runs.append(trainer.train_split(
+                        sp, seed=tcfg.seed + m,
+                        resume_from=(args.resume_from
+                                     if k == 1 and m == 0 else None)))
                 per_split.append(
                     max(runs, key=lambda r: r.test_metrics["auprc"])
                     .test_metrics)

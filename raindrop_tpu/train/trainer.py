@@ -171,7 +171,35 @@ class Trainer:
         self._train_epoch = jax.jit(train_epoch, donate_argnums=donate)
 
     # ---- data movement -------------------------------------------------
-    def _device_batch(self, P, time, static, y=None):
+    @property
+    def _multihost(self) -> bool:
+        """Multi-host regime: every process holds the full split in host
+        RAM (SURVEY.md §7; these datasets are <=12k samples) and assembles
+        only ITS slice of each global batch
+        (parallel/multihost.py: sampler shards + process-local arrays)."""
+        return self.mesh is not None and jax.process_count() > 1
+
+    def _device_batch(self, P, time, static, y=None, *, idx=None):
+        """Build a device batch. idx: the GLOBAL batch sample indices (the
+        arrays passed are the full split) — on multi-host runs each process
+        slices only its disjoint portion and the global sharded array is
+        stitched with make_array_from_process_local_data; single-host
+        slices everything and device_puts (sharded when a mesh is set)."""
+        if idx is not None and self._multihost:
+            from raindrop_tpu.parallel.multihost import (
+                global_batch, local_batch_indices)
+            li = local_batch_indices(np.asarray(idx), jax.process_index(),
+                                     jax.process_count())
+            local = {"P": P[li], "time": time[li]}
+            if static is not None:
+                local["static"] = static[li]
+            if y is not None:
+                local["y"] = y[li]
+            return global_batch(self.mesh, local)
+        if idx is not None:
+            P, time = P[idx], time[idx]
+            static = None if static is None else static[idx]
+            y = None if y is None else y[idx]
         batch = {"P": jnp.asarray(P), "time": jnp.asarray(time)}
         if static is not None:
             batch["static"] = jnp.asarray(static)
@@ -196,19 +224,23 @@ class Trainer:
         out = np.zeros((N, self.cfg.n_classes), np.float32)
         for start in range(0, N, batch_size):
             end = min(start + batch_size, N)
-            sl = slice(start, end)
             n = end - start
-            if n < batch_size:  # pad tail to keep the compiled shape
-                pad = batch_size - n
-                Pb = np.concatenate([P[sl], np.repeat(P[end - 1:end], pad, 0)])
-                tb = np.concatenate([time[sl], np.repeat(time[end - 1:end], pad, 0)])
-                sb = (np.concatenate([static[sl], np.repeat(static[end - 1:end], pad, 0)])
-                      if static is not None else None)
+            # pad the tail with repeats of the last row: static shapes, and
+            # _device_batch shards by index on multi-host runs
+            idxb = np.concatenate(
+                [np.arange(start, end),
+                 np.full(batch_size - n, end - 1, np.int64)])
+            logits = self._eval_step(
+                params, self._device_batch(P, time, static, idx=idxb))
+            if self._multihost:
+                # logits are globally sharded across hosts; gather the full
+                # array to every host for the (host-side, sklearn) metrics
+                from jax.experimental import multihost_utils
+                lg = np.asarray(
+                    multihost_utils.process_allgather(logits, tiled=True))
             else:
-                Pb, tb = P[sl], time[sl]
-                sb = static[sl] if static is not None else None
-            logits = self._eval_step(params, self._device_batch(Pb, tb, sb))
-            out[sl] = np.asarray(jax.device_get(logits))[:n]
+                lg = np.asarray(jax.device_get(logits))
+            out[start:end] = lg[:n]
         return out
 
     # ---- the full per-split protocol ------------------------------------
@@ -295,14 +327,15 @@ class Trainer:
                 last_idx = idx[-1]
                 n_samples_done += idx.size
             else:
+                # every process draws the SAME seeded global index stream;
+                # _device_batch shards it per process on multi-host runs
                 for idx in balanced_batches(split.ytrain, tcfg.batch_size,
                                             strategy, rng_np,
                                             n_batches=n_batches):
                     key, step_key = jax.random.split(key)
                     batch = self._device_batch(
-                        split.Ptrain[idx], split.Ptrain_time[idx],
-                        None if split.Ptrain_static is None else split.Ptrain_static[idx],
-                        split.ytrain[idx])
+                        split.Ptrain, split.Ptrain_time,
+                        split.Ptrain_static, split.ytrain, idx=idx)
                     params, opt_state, loss, logits = self._train_step(
                         params, opt_state, batch, step_key)
                     n_samples_done += len(idx)
@@ -349,13 +382,27 @@ class Trainer:
 
             # best checkpoint keyed on AUROC (code/Raindrop.py:369-374)
             if val["auroc"] > best["auroc"]:
-                best.update(auroc=val["auroc"], auprc=val["auprc"],
-                            params=jax.device_get(params))
-                if checkpoint_path:
-                    save_checkpoint(checkpoint_path, params,
-                                    meta={"epoch": epoch, "val": val,
-                                          "config": dataclasses.asdict(cfg)})
-            if checkpoint_path:  # full resumable state, every epoch
+                if self._multihost:
+                    # params may be sharded across hosts: each process
+                    # persists its own shards (parallel/multihost.py);
+                    # test-time reload happens below
+                    best.update(auroc=val["auroc"], auprc=val["auprc"],
+                                params="__sharded__")
+                    if checkpoint_path:
+                        from raindrop_tpu.parallel.multihost import (
+                            save_sharded_checkpoint)
+                        save_sharded_checkpoint(checkpoint_path, params)
+                else:
+                    best.update(auroc=val["auroc"], auprc=val["auprc"],
+                                params=jax.device_get(params))
+                    if checkpoint_path:
+                        save_checkpoint(checkpoint_path, params,
+                                        meta={"epoch": epoch, "val": val,
+                                              "config": dataclasses.asdict(cfg)})
+            if checkpoint_path and not self._multihost:
+                # full resumable state, every epoch (multi-host runs keep
+                # per-host best-param shards above; full multi-host resume
+                # state = those shards + process-0 meta)
                 save_checkpoint(
                     checkpoint_path + "_last", params, opt_state,
                     meta={"epoch": epoch,
@@ -370,7 +417,17 @@ class Trainer:
 
         elapsed = time.time() - t0
         # --- test with the best params, softmax path (code/Raindrop.py:380-406)
-        test_params = best["params"] if best["params"] is not None else params
+        if best["params"] == "__sharded__" and checkpoint_path:
+            from raindrop_tpu.parallel.multihost import (
+                load_sharded_checkpoint)
+            from raindrop_tpu.parallel.mesh import shard_params
+            host = load_sharded_checkpoint(
+                checkpoint_path, like=jax.tree.map(lambda x: x, params))
+            test_params = shard_params(self.mesh, host)
+        elif best["params"] is not None and best["params"] != "__sharded__":
+            test_params = best["params"]
+        else:
+            test_params = params
         test_logits = self.predict(test_params, split.Ptest, split.Ptest_time,
                                    split.Ptest_static)
         test = classification_metrics(test_logits, split.ytest, cfg.n_classes,
@@ -394,7 +451,8 @@ class Trainer:
 
 
 def run_splits(make_split, cfg: RaindropConfig, tcfg: TrainConfig, *,
-               mesh=None, verbose: bool = True) -> Dict[str, Any]:
+               mesh=None, verbose: bool = True,
+               resume_from: Optional[str] = None) -> Dict[str, Any]:
     """The 5-split x n_runs protocol with the reference's aggregation:
     best run per split by AUPRC, then mean±std over splits
     (reference code/Raindrop.py:417-446).
@@ -421,7 +479,8 @@ def run_splits(make_split, cfg: RaindropConfig, tcfg: TrainConfig, *,
                                     f"raindrop_{tcfg.dataset}_s{k}_r{m}")
                 res = trainer.train_split(
                     split_m, seed=tcfg.seed + m, log_file=log_file,
-                    checkpoint_path=ckpt, verbose=verbose)
+                    checkpoint_path=ckpt, verbose=verbose,
+                    resume_from=(resume_from if k == 1 and m == 0 else None))
                 runs.append(res)
             best_run = max(runs, key=lambda r: r.test_metrics["auprc"])
             per_split.append(best_run.test_metrics)

@@ -151,3 +151,71 @@ def test_coo_jit_and_grad(rng_np):
     g = jax.grad(loss)(params, x)
     assert np.isfinite(float(loss(params, x)))
     assert np.all(np.isfinite(np.asarray(g["lin_value"]["w"])))
+
+
+def _beta_coo_pair(params1, params2, x, p_t, edge_index, w, d_ob, n):
+    """Reference composition: the model's vmapped two-layer use_beta block
+    (models/raindrop.py COO branch) for one sample."""
+    o1, (ei2, a1) = ob_propagate_coo(
+        params1, x, p_t, edge_index, w, use_beta=True, ob_dim=d_ob, n_nodes=n)
+    w2 = a1 if a1.ndim == 1 else a1[:, 0]
+    o2, (_, a2) = ob_propagate_coo(
+        params2, o1, p_t, ei2, w2, use_beta=False, ob_dim=d_ob, n_nodes=n)
+    return o2, a2[:, 0]
+
+
+@pytest.mark.parametrize("n,T,B", [(6, 10, 3), (34, 12, 4)])
+def test_beta_dense_matches_vmapped_coo(rng_np, n, T, B):
+    """raindrop_propagate_beta_dense == vmap(two-layer COO) bit-for-bit in
+    selection (same argsort tie-breaking under a uniform adjacency) and to
+    fp tolerance in values — including the all-ones-weights tie regime the
+    shipped config runs in."""
+    from raindrop_tpu.graph.propagate import raindrop_propagate_beta_dense
+
+    d_ob = 4
+    params1, in_ch = make_layer(n, T, d_ob, seed=1)
+    params2, _ = make_layer(n, T, d_ob, seed=2)
+    x = jnp.asarray(rng_np.normal(size=(B, n, in_ch)).astype(np.float32))
+    pe = jnp.asarray(rng_np.normal(size=(B, T, 16)).astype(np.float32))
+    edge_index, w = complete_graph_edges(n)
+    edge_index, w = jnp.asarray(edge_index), jnp.asarray(w)  # all-ones w
+
+    coo_o, coo_a = jax.vmap(
+        lambda xb, pb: _beta_coo_pair(params1, params2, xb, pb,
+                                      edge_index, w, d_ob, n))(x, pe)
+    dense_o, dense_a = raindrop_propagate_beta_dense(
+        params1, params2, x, pe, jnp.ones((n, n), jnp.float32), ob_dim=d_ob)
+
+    np.testing.assert_allclose(np.asarray(dense_a), np.asarray(coo_a),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dense_o), np.asarray(coo_o),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_beta_dense_grads_match_coo(rng_np):
+    """Gradients of the two formulations agree (same function => same
+    derivative; catches silent AD breakage in the masked-dense softmax)."""
+    from raindrop_tpu.graph.propagate import raindrop_propagate_beta_dense
+
+    n, T, d_ob, B = 6, 10, 4, 2
+    params1, in_ch = make_layer(n, T, d_ob, seed=3)
+    params2, _ = make_layer(n, T, d_ob, seed=4)
+    x = jnp.asarray(rng_np.normal(size=(B, n, in_ch)).astype(np.float32))
+    pe = jnp.asarray(rng_np.normal(size=(B, T, 16)).astype(np.float32))
+    edge_index, w = complete_graph_edges(n)
+    edge_index, w = jnp.asarray(edge_index), jnp.asarray(w)
+
+    def loss_coo(ps, x):
+        o, a = jax.vmap(lambda xb, pb: _beta_coo_pair(
+            ps[0], ps[1], xb, pb, edge_index, w, d_ob, n))(x, pe)
+        return jnp.sum(o ** 2) + jnp.sum(a ** 2)
+
+    def loss_dense(ps, x):
+        o, a = raindrop_propagate_beta_dense(
+            ps[0], ps[1], x, pe, jnp.ones((n, n), jnp.float32), ob_dim=d_ob)
+        return jnp.sum(o ** 2) + jnp.sum(a ** 2)
+
+    g_coo = jax.grad(loss_coo, argnums=(0, 1))((params1, params2), x)
+    g_dense = jax.grad(loss_dense, argnums=(0, 1))((params1, params2), x)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5), g_coo, g_dense)
