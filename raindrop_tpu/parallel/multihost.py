@@ -67,14 +67,16 @@ def sharded_balanced_batches(y, batch_size: int, strategy: int, rng,
                              ) -> Iterator[np.ndarray]:
     """The balanced sampler (reference code/Raindrop.py:264-307 semantics),
     sharded: yields this process's disjoint slice of every global batch.
-    All processes must pass identically-seeded rngs."""
+    All processes must pass identically-seeded rngs. Thin veneer over the
+    sampler's own (shard_id, num_shards) support — same contiguous-slice
+    semantics as local_batch_indices."""
     from raindrop_tpu.data.sampler import balanced_batches
 
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
-    for idx in balanced_batches(y, batch_size, strategy, rng,
-                                n_batches=n_batches):
-        yield local_batch_indices(idx, pi, pc)
+    yield from balanced_batches(y, batch_size, strategy, rng,
+                                n_batches=n_batches,
+                                shard_id=pi, num_shards=pc)
 
 
 # ------------------------------------------------------- global batch build
