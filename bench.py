@@ -235,9 +235,19 @@ def bench_serve(dataset="P19", n_single=100, batch=128):
     for _ in range(rounds):
         srv.predict(Pb, tb, sb)
     dt = time.perf_counter() - t0
+    # pipelined streaming: keeps device launches + D2H fetch RTTs in
+    # flight (predict_stream) — the saturated-throughput regime; the
+    # sequential loop above pays one fetch round-trip per batch
+    stream_rounds = 40
+    t0 = time.perf_counter()
+    for out in srv.predict_stream(((Pb, tb, sb)
+                                   for _ in range(stream_rounds))):
+        pass
+    stream_dt = time.perf_counter() - t0
     return {"serve_p50_ms": float(np.percentile(lats, 50)),
             "serve_p99_ms": float(np.percentile(lats, 99)),
-            "serve_b128_samples_per_sec": rounds * batch / dt}
+            "serve_b128_samples_per_sec": rounds * batch / dt,
+            "serve_stream_samples_per_sec": stream_rounds * batch / stream_dt}
 
 
 def bench_torch_reference(dataset="P19", batch_size=128, iters=3):
@@ -363,7 +373,8 @@ if __name__ == "__main__":
     beta_sps = run_extra(["--use-beta-only"])["samples_per_sec"]
     serve = run_extra(["--serve-only"],
                       keys=("serve_p50_ms", "serve_p99_ms",
-                            "serve_b128_samples_per_sec"))
+                            "serve_b128_samples_per_sec",
+                            "serve_stream_samples_per_sec"))
     rnd = lambda v, n=2: None if v is None else round(v, n)  # noqa: E731
     print(json.dumps({
         "metric": "raindrop_p19_train_samples_per_sec",
@@ -381,5 +392,7 @@ if __name__ == "__main__":
         "serve_p50_ms": rnd(serve["serve_p50_ms"], 3),
         "serve_p99_ms": rnd(serve["serve_p99_ms"], 3),
         "serve_b128_samples_per_sec": rnd(serve["serve_b128_samples_per_sec"]),
+        "serve_stream_samples_per_sec": rnd(
+            serve["serve_stream_samples_per_sec"]),
         "backend": r["backend"],
     }))

@@ -123,7 +123,58 @@ class InferenceServer:
             self.stats["latency_ms_sum"] += 1e3 * (time.perf_counter() - t0)
         return probs
 
-    def _predict_chunk(self, P, times, static) -> np.ndarray:
+    def predict_stream(self, requests, *, depth: int = 4):
+        """Pipelined batch inference: yields probs [n_i, C] for each
+        request (P_i, times_i, static_i|None) IN ORDER while keeping up to
+        `depth` device launches and D2H fetches in flight.
+
+        Why this exists: on remote/tunneled TPU backends the device→host
+        readback RPC costs a full round-trip (~25 ms measured here)
+        regardless of payload size, while H2D transfers and dispatch are
+        async and the compute itself is ~0.2 ms — so the synchronous
+        `predict` path is latency-bound at one RTT per call. JAX dispatch
+        is asynchronous, so launching request k+1 before fetching request
+        k overlaps device compute with the fetch; fetching on a small
+        thread pool additionally overlaps the RTTs themselves. Measured on
+        the tunneled v5e at bucket 128: 1.6x the sequential predict()
+        throughput (3.2k vs 2.0k samples/s — the remaining ceiling is H2D
+        bandwidth: each b128 request ships ~2 MB of inputs over the
+        tunnel; co-located serving is compute-bound at the eval-scan rate
+        instead, ~350k samples/s). Results are bitwise identical to
+        predict() — same compiled runners, same padding.
+        """
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        top = self.buckets[-1]
+        inflight: "collections.deque" = collections.deque()
+        with ThreadPoolExecutor(max_workers=depth) as pool:
+            def drain_one():
+                fut, n = inflight.popleft()
+                return fut.result()[:n]
+
+            for (P, times, static) in requests:
+                n = P.shape[0]
+                if n > top:
+                    raise ValueError(
+                        f"stream request n={n} exceeds top bucket {top}; "
+                        f"chunk client-side or use predict()")
+                dev = self._launch_chunk(P, times, static)
+                # fetch on the pool so RTTs overlap; np.asarray on distinct
+                # jax.Arrays is thread-safe
+                inflight.append((pool.submit(np.asarray, dev), n))
+                with self._lock:
+                    self.stats["requests"] += 1
+                    self.stats["samples"] += n
+                    self.stats["batches"] += 1
+                if len(inflight) >= depth:
+                    yield drain_one()
+            while inflight:
+                yield drain_one()
+
+    def _launch_chunk(self, P, times, static):
+        """Pad + dispatch one bucketed launch; returns the (async) device
+        array of probabilities for the padded bucket."""
         n = P.shape[0]
         b = _bucket_for(n, self.buckets)
         if n < b:
@@ -138,10 +189,14 @@ class InferenceServer:
             raise ValueError(
                 f"model config expects static features [n, {self.cfg.d_static}]")
         runner = self._runner(b)
-        probs = runner(self.params, jnp.asarray(P, jnp.float32),
-                       jnp.asarray(times, jnp.float32),
-                       None if static is None else
-                       jnp.asarray(static, jnp.float32))
+        return runner(self.params, jnp.asarray(P, jnp.float32),
+                      jnp.asarray(times, jnp.float32),
+                      None if static is None else
+                      jnp.asarray(static, jnp.float32))
+
+    def _predict_chunk(self, P, times, static) -> np.ndarray:
+        n = P.shape[0]
+        probs = self._launch_chunk(P, times, static)
         with self._lock:
             self.stats["batches"] += 1
         return np.asarray(jax.device_get(probs))[:n]

@@ -101,3 +101,39 @@ def test_http_endpoint(small):
             probs, _direct(cfg, params, P, times, static), rtol=1e-4, atol=1e-5)
     finally:
         httpd.shutdown()
+
+
+def test_predict_stream_matches_predict():
+    """Pipelined streaming yields the same probs as sequential predict(),
+    in order, across mixed request sizes (padding + bucket selection
+    shared via _launch_chunk)."""
+    import numpy as np
+    import jax
+    from raindrop_tpu.config import dataset_config
+    from raindrop_tpu.models.raindrop import raindrop_init
+    from raindrop_tpu.serve import InferenceServer
+
+    cfg = dataset_config("P19", max_len=8)
+    params = raindrop_init(jax.random.PRNGKey(0), cfg)
+    srv = InferenceServer(cfg, params, buckets=(2, 4), precompile=False)
+    rng = np.random.default_rng(0)
+    T, F = cfg.max_len, cfg.d_inp
+
+    def mk(n):
+        mask = (rng.uniform(size=(n, T, F)) > 0.5).astype(np.float32)
+        P = np.concatenate(
+            [rng.normal(size=(n, T, F)).astype(np.float32) * mask, mask], -1)
+        tm = np.cumsum(rng.uniform(0.1, 1.0, size=(n, T)), 1).astype(np.float32)
+        st = rng.normal(size=(n, cfg.d_static)).astype(np.float32)
+        return P, tm, st
+
+    reqs = [mk(1), mk(3), mk(4), mk(2), mk(4)]
+    seq = [srv.predict(*r) for r in reqs]
+    stream = list(srv.predict_stream(iter(reqs), depth=3))
+    assert len(stream) == len(seq)
+    for a, b in zip(stream, seq):
+        np.testing.assert_array_equal(a, b)
+
+    import pytest
+    with pytest.raises(ValueError, match="exceeds top bucket"):
+        list(srv.predict_stream([mk(5)]))
