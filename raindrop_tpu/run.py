@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
                             "ipnet"])
     p.add_argument("--use-beta", type=str2bool, default=False)
     p.add_argument("--sensor-wise-mask", type=str2bool, default=False)
+    p.add_argument("--max-len", type=int, default=None,
+                   help="override the dataset's max sequence length "
+                        "(synthetic data is generated at this length; real "
+                        "data is truncated)")
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--batch-size", type=int, default=128)
     p.add_argument("--lr", type=float, default=1e-4)
@@ -103,8 +107,11 @@ def main(argv=None) -> int:
     )
     from raindrop_tpu.train import run_splits, Trainer
 
+    cfg_kw = {}
+    if args.max_len is not None:
+        cfg_kw["max_len"] = args.max_len
     cfg = dataset_config(args.dataset, use_beta=args.use_beta,
-                         sensor_wise_mask=args.sensor_wise_mask)
+                         sensor_wise_mask=args.sensor_wise_mask, **cfg_kw)
     missing_ratios = ([0.1, 0.2, 0.3, 0.4, 0.5] if args.withmissingratio
                       else [0.0])
 
@@ -135,7 +142,8 @@ def main(argv=None) -> int:
             if args.synthetic:
                 sp = synthetic_split(args.dataset, n=args.synthetic,
                                      seed=(resplit if resplit is not None
-                                           else args.seed * 1000 + k))
+                                           else args.seed * 1000 + k),
+                                     T=cfg.max_len)
             else:
                 if not args.data_root:
                     raise SystemExit("--data-root or --synthetic required")
@@ -144,6 +152,11 @@ def main(argv=None) -> int:
                                 reverse=args.reverse,
                                 predictive_label=args.predictive_label,
                                 resplit_seed=resplit)
+                if args.max_len is not None:  # truncate the time axis
+                    for f in ("Ptrain", "Pval", "Ptest"):
+                        setattr(sp, f, getattr(sp, f)[:, :cfg.max_len])
+                    for f in ("Ptrain_time", "Pval_time", "Ptest_time"):
+                        setattr(sp, f, getattr(sp, f)[:, :cfg.max_len])
             if _mr > 0:
                 rng = np.random.default_rng(args.seed * 100 + k)
                 if args.feature_removal_level == "sample":

@@ -1,0 +1,59 @@
+"""End-to-end CLI smoke tests for `python -m raindrop_tpu.run` — the
+reference flag surface (code/Raindrop.py:61-70) plus the framework's
+extensions (--model, --resplit-per-run, --resume-from, --max-len), run
+in-process on tiny synthetic data."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from raindrop_tpu.run import main
+
+
+def _run(tmp_path, *extra, out="out.json"):
+    out_path = str(tmp_path / out)
+    rc = main([
+        "--dataset", "P19", "--synthetic", "48", "--max-len", "8",
+        "--batch-size", "8", "--epochs", "1", "--n-splits", "1",
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+        "--out-json", out_path, *extra])
+    assert rc == 0
+    with open(out_path) as f:
+        return json.load(f)
+
+
+def test_cli_raindrop_smoke(tmp_path, capsys):
+    res = _run(tmp_path)
+    auroc = res["missing_0.0"]["auroc"]["mean"]
+    assert np.isfinite(auroc) and 0 <= auroc <= 100
+    assert "auroc" in capsys.readouterr().out
+
+
+def test_cli_grud_bce_resplit(tmp_path):
+    res = _run(tmp_path, "--model", "grud_bce", "--n-runs", "2",
+               "--resplit-per-run", "true", out="g.json")
+    assert np.isfinite(res["missing_0.0"]["auroc"]["mean"])
+
+
+def test_cli_resume_from(tmp_path):
+    """Train 1 epoch (writes <ckpt>_last at epoch 0), then resume to epoch
+    2 — the mid-run-resume CLI path."""
+    _run(tmp_path)
+    last = str(tmp_path / "ckpt" / "raindrop_P19_s1_r0_last")
+    assert os.path.exists(last + ".npz")
+    rc = main([
+        "--dataset", "P19", "--synthetic", "48", "--max-len", "8",
+        "--batch-size", "8", "--epochs", "2", "--n-splits", "1",
+        "--checkpoint-dir", str(tmp_path / "ckpt2"),
+        "--resume-from", last,
+        "--out-json", str(tmp_path / "r.json")])
+    assert rc == 0
+
+
+def test_cli_rejects_unknown_model(tmp_path):
+    with pytest.raises(SystemExit):
+        main(["--model", "nope"])
