@@ -83,6 +83,10 @@ def make_baseline(name: str, cfg: RaindropConfig
         # uniform n-class CE head used across all baselines (DEVIATIONS.md
         # #3).
         bce = name == "grud_bce"
+        if bce and cfg.n_classes != 2:
+            raise ValueError(
+                f"grud_bce is the binary sigmoid+BCE objective; "
+                f"{cfg.n_classes}-class datasets need --model grud")
 
         def init(key):
             return grud_init(key, F, 1 if bce else cfg.n_classes)

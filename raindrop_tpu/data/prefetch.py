@@ -130,8 +130,18 @@ class PrefetchExecutor:
                 item = self._q.get(timeout=0.2)
                 break
             except queue.Empty:
-                if self._stop.is_set() or not self._thread.is_alive():
+                if self._stop.is_set():
                     raise StopIteration from None
+                if not self._thread.is_alive():
+                    # the producer may have enqueued its final item(s) in
+                    # the window between the Empty and the liveness check;
+                    # once it is dead nothing more can arrive, so one
+                    # non-blocking recheck closes the race
+                    try:
+                        item = self._q.get_nowait()
+                        break
+                    except queue.Empty:
+                        raise StopIteration from None
         if item is _SENTINEL:
             self._thread.join(timeout=5.0)
             raise StopIteration

@@ -141,6 +141,18 @@ def save_sharded_checkpoint(path: str, tree, *,
                 shard.data)
     for key, shp in shapes.items():
         arrays[f"{key}#shape"] = shp
+    # remove stale shard files from runs with a DIFFERENT process count —
+    # a later load would otherwise glob both generations and silently mix
+    # them (all current writers share pc, so deleting other-of<n> files is
+    # race-free)
+    import glob as _glob
+
+    for old in _glob.glob(f"{path}.shard*-of*.npz"):
+        if not old.endswith(f"-of{pc}.npz"):
+            try:
+                os.remove(old)
+            except OSError:
+                pass
     fname = f"{path}.shard{pi}-of{pc}.npz"
     np.savez(fname, **arrays)
     return fname
@@ -156,6 +168,13 @@ def load_sharded_checkpoint(path: str, like=None) -> Dict[str, np.ndarray]:
     files = sorted(glob.glob(f"{path}.shard*-of*.npz"))
     if not files:
         raise FileNotFoundError(f"no shard files at {path}.shard*-of*.npz")
+    # all shard files must come from ONE run generation (same -of<n>):
+    # mixed process counts mean stale files from an earlier run are present
+    counts = {f.rsplit("-of", 1)[1] for f in files}
+    if len(counts) > 1:
+        raise ValueError(
+            f"mixed shard generations at {path}: process counts "
+            f"{sorted(counts)} — remove the stale files")
     full: Dict[str, np.ndarray] = {}
     pieces: Dict[str, list] = {}
     shapes: Dict[str, tuple] = {}

@@ -153,6 +153,11 @@ def main(argv=None) -> int:
                                 predictive_label=args.predictive_label,
                                 resplit_seed=resplit)
                 if args.max_len is not None:  # truncate the time axis
+                    if sp.Ptrain.shape[1] < cfg.max_len:
+                        raise SystemExit(
+                            f"--max-len {cfg.max_len} exceeds the dataset's "
+                            f"sequence length {sp.Ptrain.shape[1]} — only "
+                            f"truncation is supported")
                     for f in ("Ptrain", "Pval", "Ptest"):
                         setattr(sp, f, getattr(sp, f)[:, :cfg.max_len])
                     for f in ("Ptrain_time", "Pval_time", "Ptest_time"):

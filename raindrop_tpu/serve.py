@@ -162,9 +162,12 @@ class InferenceServer:
                 dev = self._launch_chunk(P, times, static)
                 # fetch on the pool so RTTs overlap; np.asarray on distinct
                 # jax.Arrays is thread-safe
+                # count samples/batches but NOT 'requests': avg_latency_ms
+                # (health()) is defined over synchronous predict() calls,
+                # and a pipelined batch has no per-request latency of its
+                # own — inflating the denominator would deflate the SLO
                 inflight.append((pool.submit(np.asarray, dev), n))
                 with self._lock:
-                    self.stats["requests"] += 1
                     self.stats["samples"] += n
                     self.stats["batches"] += 1
                 if len(inflight) >= depth:

@@ -263,6 +263,15 @@ class Trainer:
         and fault injection (parallel/elastic.py).
         """
         cfg, tcfg = self.cfg, self.tcfg
+        if self._multihost and not checkpoint_path:
+            # best-val params can only be tracked via per-host shard files
+            # on multi-host runs (device_get of sharded params is not
+            # possible); refuse loudly instead of silently testing on
+            # final-epoch params
+            raise ValueError(
+                "multi-host training requires checkpoint_path (best-val "
+                "params are persisted as per-host shards; see "
+                "parallel/multihost.py)")
         seed = tcfg.seed if seed is None else seed
         rng_np = np.random.default_rng(seed)
         key = jax.random.PRNGKey(seed)
@@ -297,6 +306,15 @@ class Trainer:
             start_epoch = meta["epoch"] + 1
             best.update(auroc=meta["best_auroc"], auprc=meta["best_auprc"])
             history = meta.get("history", [])
+            # restore the best-val params too (they live next to the _last
+            # file): otherwise a resumed run whose remaining epochs never
+            # beat the restored AUROC would silently test on the FINAL
+            # params instead of the best-by-val-AUROC protocol
+            if resume_from.endswith("_last"):
+                best_path = resume_from[: -len("_last")]
+                if os.path.exists(best_path + ".npz"):
+                    bp, _, _ = load_checkpoint(best_path, params)
+                    best["params"] = jax.device_get(bp)
 
         t0 = time.time()
         params_snapshot = (jax.device_get(params)
@@ -346,9 +364,16 @@ class Trainer:
             # labels=[0, 1] (code/Raindrop.py:341-342)
             if verbose and epoch in (start_epoch, tcfg.num_epochs - 1):
                 from raindrop_tpu.train.metrics import confusion_matrix_np
-                ypred_tr = np.argmax(np.asarray(jax.device_get(logits)), 1)
-                print(confusion_matrix_np(split.ytrain[last_idx], ypred_tr,
-                                          labels=[0, 1]))
+                if self._multihost:
+                    # train-step logits span non-addressable devices;
+                    # gather like predict() does
+                    from jax.experimental import multihost_utils
+                    lg = np.asarray(
+                        multihost_utils.process_allgather(logits, tiled=True))
+                else:
+                    lg = np.asarray(jax.device_get(logits))
+                print(confusion_matrix_np(split.ytrain[last_idx],
+                                          np.argmax(lg, 1), labels=[0, 1]))
 
             # frozen-parameter diff after the first epoch (the reference
             # GRU-D driver's 'Not updated in <name>' diagnostic,

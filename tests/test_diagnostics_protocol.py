@@ -177,3 +177,10 @@ def test_load_split_resplit_seed_partitions(tmp_path):
     assert len(s1.ytrain) == 32 and len(s1.yval) == 4 and len(s1.ytest) == 4
     np.testing.assert_array_equal(s1.ytrain, s1b.ytrain)  # deterministic
     assert not np.array_equal(s1.Ptest, s2.Ptest)         # seed moves it
+
+
+def test_grud_bce_rejects_multiclass():
+    from raindrop_tpu.baselines.adapters import make_baseline
+
+    with pytest.raises(ValueError, match="binary"):
+        make_baseline("grud_bce", dataset_config("PAM", max_len=8))

@@ -150,3 +150,26 @@ def test_trainer_mesh_epoch_with_idx_batches():
     tr = Trainer(cfg, tcfg, mesh=make_mesh(n_data=4, n_model=2))
     res = tr.train_split(split, seed=0, verbose=False)
     assert np.isfinite(res.test_metrics["auroc"])
+
+
+def test_sharded_checkpoint_rejects_mixed_generations(tmp_path):
+    """Shard files from runs with different process counts must not be
+    silently merged (stale-generation corruption)."""
+    mesh = make_mesh(n_data=1, n_model=8)
+    x = jax.device_put(jnp.arange(64, dtype=jnp.float32).reshape(8, 8),
+                       NamedSharding(mesh, P(None, "model")))
+    path = str(tmp_path / "c3")
+    save_sharded_checkpoint(path, {"w": x})
+    # simulate a stale file from an earlier 4-process run
+    f0 = path + ".shard0-of1.npz"
+    stale = path + ".shard0-of4.npz"
+    import shutil
+    shutil.copy(f0, stale)
+    with pytest.raises(ValueError, match="mixed shard generations"):
+        load_sharded_checkpoint(path)
+    # a fresh save cleans the stale generation and load works again
+    save_sharded_checkpoint(path, {"w": x})
+    import os
+    assert not os.path.exists(stale)
+    out = load_sharded_checkpoint(path)
+    np.testing.assert_array_equal(out["w"], np.asarray(jax.device_get(x)))
