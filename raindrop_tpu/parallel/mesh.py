@@ -115,13 +115,24 @@ def shard_params(mesh: Mesh, params):
 
 def initialize_distributed(coordinator: Optional[str] = None,
                            num_processes: Optional[int] = None,
-                           process_id: Optional[int] = None) -> None:
-    """Multi-host runtime bring-up (jax.distributed). No-op when single-host.
+                           process_id: Optional[int] = None,
+                           *, auto: bool = False) -> bool:
+    """Multi-host runtime bring-up (jax.distributed).
 
-    On TPU pods the defaults are auto-detected from the environment; args
-    exist for CPU/GPU clusters and tests.
+    auto=True calls jax.distributed.initialize() with NO arguments — the
+    TPU-pod path, where coordinator/count/id are auto-detected from the
+    pod environment (this is how `run.py --distributed true` brings up a
+    fleet). Explicit args serve CPU/GPU clusters and tests. With neither,
+    this is a no-op (single-host). Returns True iff initialize was called.
+    Idempotence: calling twice raises in jax — guard at the call site if
+    re-entry is possible.
     """
-    if num_processes is not None and num_processes > 1 or coordinator:
+    if auto:
+        jax.distributed.initialize()
+        return True
+    if (num_processes is not None and num_processes > 1) or coordinator:
         jax.distributed.initialize(coordinator_address=coordinator,
                                    num_processes=num_processes,
                                    process_id=process_id)
+        return True
+    return False

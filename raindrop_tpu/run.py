@@ -65,6 +65,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use N synthetic samples instead of real data")
     p.add_argument("--data-parallel", type=int, default=0,
                    help="devices on the mesh 'data' axis (0 = no mesh)")
+    p.add_argument("--distributed", type=str2bool, default=False,
+                   help="initialize the jax.distributed multi-host runtime "
+                        "(TPU pods; auto-detects coordinator/process ids). "
+                        "Combine with --data-parallel over all global "
+                        "devices; requires --checkpoint-dir")
     p.add_argument("--resplit-per-run", type=str2bool, default=False,
                    help="re-randomize the 8:1:1 partition for every run "
                         "(the mTAND protocol, mTAND_baseline.py:72-88)")
@@ -97,6 +102,12 @@ def main(argv=None) -> int:
 
     from raindrop_tpu.utils.diagnostics import enable_persistent_compile_cache
     enable_persistent_compile_cache()
+
+    if args.distributed:
+        # must run before any backend use so every process sees the global
+        # device set (parallel/multihost.py handles batches + checkpoints)
+        from raindrop_tpu.parallel.mesh import initialize_distributed
+        initialize_distributed(auto=True)
 
     from raindrop_tpu.config import TrainConfig, dataset_config
     from raindrop_tpu.data import (
