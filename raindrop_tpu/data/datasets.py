@@ -113,6 +113,7 @@ def load_split(
     static_compat: bool = True,
     rng: Optional[np.random.Generator] = None,
     resplit_seed: Optional[int] = None,
+    imputation: Optional[str] = None,
 ) -> Split:
     """Load, split, and normalize a real dataset (reference
     code/utils_rd.py:23-146 + code/Raindrop.py:181-211).
@@ -156,23 +157,39 @@ def load_split(
 
     return prepare_split(
         Pdict_list, y, idx_train, idx_val, idx_test,
-        dataset=dataset, static_compat=static_compat)
+        dataset=dataset, static_compat=static_compat, imputation=imputation)
 
 
 def prepare_split(
     Pdict_list, y, idx_train, idx_val, idx_test, *,
     dataset: str, static_compat: bool = True,
+    imputation: Optional[str] = None,
 ) -> Split:
     """Stats from the train portion only, then normalize all three portions
-    (reference code/Raindrop.py:181-211)."""
+    (reference code/Raindrop.py:181-211).
+
+    imputation: optional Trans-mean-family imputer name (mean / forward /
+    cubic_spline / knn / mice) applied to the RAW per-portion value arrays
+    BEFORE stats/normalization — exactly where the reference applies it
+    (Transformer_baseline.py:155-204), with the train portion's means
+    reused for val/test in 'mean' mode.
+    """
+    from raindrop_tpu.data.imputation import features_mean, impute
+
     has_static = dataset != "PAM"
     if has_static:
         parts = {}
         a_tr, t_tr, s_tr = _unpack_dicts(Pdict_list[idx_train])
+        means = (features_mean(a_tr)
+                 if imputation == "mean" else None)
+        if imputation:
+            a_tr = impute(a_tr, t_tr, imputation, means)
         mf, stdf = get_stats(a_tr)
         ms, ss = get_stats_static(s_tr, dataset, compat=static_compat)
         for name, idx in (("train", idx_train), ("val", idx_val), ("test", idx_test)):
             a, t, s = (a_tr, t_tr, s_tr) if name == "train" else _unpack_dicts(Pdict_list[idx])
+            if imputation and name != "train":
+                a = impute(a, t, imputation, means)
             parts[name] = tensorize_normalize(a, t, s, y[idx], mf, stdf, ms, ss)
         return Split(
             Ptrain=parts["train"][0], Pval=parts["val"][0], Ptest=parts["test"][0],
@@ -181,6 +198,18 @@ def prepare_split(
             ytrain=parts["train"][3], yval=parts["val"][3], ytest=parts["test"][3])
     # PAM: raw [N, T, F] arrays, synthetic timeline, no statics
     arrs = np.stack(list(Pdict_list)) if Pdict_list.dtype == object else np.asarray(Pdict_list)
+    if imputation:
+        # PAM's synthetic uniform timeline (reference
+        # Transformer_baseline.py:166-171: arange(1, T+1) per sample)
+        T = arrs.shape[1]
+        tgrid = np.broadcast_to(
+            np.arange(1, T + 1, dtype=np.float64),
+            arrs.shape[:2]).copy()
+        means = (features_mean(arrs[idx_train])
+                 if imputation == "mean" else None)
+        arrs = np.array(arrs, dtype=np.float64, copy=True)
+        for idx in (idx_train, idx_val, idx_test):
+            arrs[idx] = impute(arrs[idx], tgrid[idx], imputation, means)
     mf, stdf = get_stats(arrs[idx_train])
     parts = {name: tensorize_normalize_no_static(arrs[idx], y[idx], mf, stdf)
              for name, idx in (("train", idx_train), ("val", idx_val), ("test", idx_test))}
@@ -256,6 +285,7 @@ def synthetic_split(
     T: Optional[int] = None,
     class_signal: float = 1.0,
     static_compat: bool = True,
+    imputation: Optional[str] = None,
 ) -> Split:
     """An 8:1:1 synthetic split through the real normalization pipeline."""
     P, y = synthetic_raw(dataset, n, seed, T=T, class_signal=class_signal)
@@ -264,4 +294,4 @@ def synthetic_split(
     n_tr, n_va = round(n * 0.8), round(n * 0.1)
     return prepare_split(
         P, y, perm[:n_tr], perm[n_tr:n_tr + n_va], perm[n_tr + n_va:],
-        dataset=dataset, static_compat=static_compat)
+        dataset=dataset, static_compat=static_compat, imputation=imputation)

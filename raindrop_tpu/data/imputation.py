@@ -137,3 +137,36 @@ def mice_imputation(X: np.ndarray, max_iter: int = 10) -> np.ndarray:
     out = IterativeImputer(max_iter=max_iter,
                            random_state=0).fit_transform(flat)
     return np.nan_to_num(out).reshape(N, T, F).astype(X.dtype)
+
+
+def features_mean(X: np.ndarray) -> np.ndarray:
+    """Per-feature mean over POSITIVE entries of the training set
+    (reference get_features_mean, utils_phy12.py:159-172) — the means fed
+    to mean_imputation for train/val/test alike."""
+    flat = X.reshape(-1, X.shape[-1])
+    with np.errstate(invalid="ignore"):
+        sums = np.where(flat > 0, flat, 0.0).sum(axis=0)
+        counts = (flat > 0).sum(axis=0)
+    return np.where(counts > 0, sums / np.maximum(counts, 1), 0.0)
+
+
+def impute(X: np.ndarray, X_time: np.ndarray, method: str,
+           train_means: Optional[np.ndarray] = None) -> np.ndarray:
+    """Dispatch one named imputation over raw [N, T, F] values — the
+    Trans-mean family switch (reference Transformer_baseline.py:178-191,
+    applied per split portion BEFORE tensorize/normalize, with TRAIN means
+    reused for val/test in 'mean' mode)."""
+    if method == "mean":
+        if train_means is None:
+            train_means = features_mean(X)
+        return mean_imputation(X, X_time, np.asarray(train_means))
+    if method == "forward":
+        return forward_imputation(X, X_time)
+    if method == "cubic_spline":
+        return cubic_spline_imputation(X, X_time)
+    if method == "knn":
+        return knn_imputation(X, X_time)
+    if method == "mice":
+        return mice_imputation(X)
+    raise ValueError(f"unknown imputation {method!r}; options: mean, "
+                     f"forward, cubic_spline, knn, mice")

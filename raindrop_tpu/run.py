@@ -41,6 +41,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["no_removal", "set", "sample"])
     p.add_argument("--predictive_label", default="mortality",
                    choices=["mortality", "LoS"])
+    # the Trans-mean family (reference Transformer_baseline.py:38-39,
+    # 155-204): impute raw values before tensorize/normalize
+    p.add_argument("--imputation", default="no_imputation",
+                   choices=["no_imputation", "mean", "forward",
+                            "cubic_spline", "knn", "mice"])
     # explicit versions of the reference's hidden knobs
     p.add_argument("--model", default="raindrop",
                    choices=["raindrop", "raindrop_v1", "transformer",
@@ -147,6 +152,8 @@ def main(argv=None) -> int:
             diag_frozen_params=args.diag_frozen_params)
 
         def make_split(k, _mr=mr, run=0):
+            imput = (None if args.imputation == "no_imputation"
+                     else args.imputation)
             # per-run seed only moves the partition under --resplit-per-run
             resplit = (args.seed * 1000 + 101 * run + k
                        if args.resplit_per_run else None)
@@ -154,7 +161,7 @@ def main(argv=None) -> int:
                 sp = synthetic_split(args.dataset, n=args.synthetic,
                                      seed=(resplit if resplit is not None
                                            else args.seed * 1000 + k),
-                                     T=cfg.max_len)
+                                     T=cfg.max_len, imputation=imput)
             else:
                 if not args.data_root:
                     raise SystemExit("--data-root or --synthetic required")
@@ -162,7 +169,7 @@ def main(argv=None) -> int:
                                 split_type=args.splittype,
                                 reverse=args.reverse,
                                 predictive_label=args.predictive_label,
-                                resplit_seed=resplit)
+                                resplit_seed=resplit, imputation=imput)
                 if args.max_len is not None:  # truncate the time axis
                     if sp.Ptrain.shape[1] < cfg.max_len:
                         raise SystemExit(

@@ -57,3 +57,29 @@ def test_cli_resume_from(tmp_path):
 def test_cli_rejects_unknown_model(tmp_path):
     with pytest.raises(SystemExit):
         main(["--model", "nope"])
+
+
+@pytest.mark.parametrize("method", ["mean", "forward"])
+def test_cli_transmean_imputation(tmp_path, method):
+    """--imputation wires the Trans-mean family through the split pipeline
+    (imputers applied to raw values BEFORE normalization, train means
+    reused for val/test — reference Transformer_baseline.py:155-204)."""
+    res = _run(tmp_path, "--model", "transformer",
+               "--imputation", method, out=f"{method}.json")
+    assert np.isfinite(res["missing_0.0"]["auroc"]["mean"])
+
+
+def test_prepare_split_imputation_changes_values():
+    """Imputation actually fills missing entries and shifts normalization
+    stats (train means reused for val in 'mean' mode)."""
+    from raindrop_tpu.data.datasets import synthetic_split
+
+    plain = synthetic_split("P19", n=40, seed=0, T=8)
+    imp = synthetic_split("P19", n=40, seed=0, T=8, imputation="mean")
+    F = plain.Ptrain.shape[2] // 2
+    # values differ where previously missing, and — like the reference,
+    # where the mask is computed AFTER imputation — the imputed entries
+    # now count as observed, so the mask coverage strictly grows
+    assert not np.allclose(plain.Ptrain[:, :, :F], imp.Ptrain[:, :, :F])
+    assert not np.allclose(plain.Pval[:, :, :F], imp.Pval[:, :, :F])
+    assert imp.Ptrain[:, :, F:].sum() > plain.Ptrain[:, :, F:].sum()
