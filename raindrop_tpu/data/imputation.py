@@ -155,7 +155,14 @@ def impute(X: np.ndarray, X_time: np.ndarray, method: str,
     """Dispatch one named imputation over raw [N, T, F] values — the
     Trans-mean family switch (reference Transformer_baseline.py:178-191,
     applied per split portion BEFORE tensorize/normalize, with TRAIN means
-    reused for val/test in 'mean' mode)."""
+    reused for val/test in 'mean' mode).
+
+    The reference parameterizes missing_value_num (-1 for eICU,
+    Transformer_baseline.py:173-176); this module implements the
+    0-is-missing convention of the shipped datasets — eICU's raw tensors
+    are not distributed with the reference, so its -1 path is untestable
+    and intentionally unimplemented.
+    """
     if method == "mean":
         if train_means is None:
             train_means = features_mean(X)

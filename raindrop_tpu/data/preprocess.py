@@ -215,6 +215,16 @@ def main(argv=None):
     p4 = sub.add_parser("grud")
     p4.add_argument("--root", required=True)
     p4.add_argument("--out", required=True)
+    # Setting-2 sensor-ranking producer (the reference's standalone
+    # code/baselines/RF_information_gain.py, which writes the
+    # IG_density_scores_<ds>.npy files consumed at Raindrop.py:227-231)
+    p5 = sub.add_parser("ig")
+    p5.add_argument("--root", required=True, help="dataset root")
+    p5.add_argument("--dataset", default="P12",
+                    choices=["P12", "P19", "eICU", "PAM"])
+    p5.add_argument("--split", type=int, default=1)
+    p5.add_argument("--out", required=True, help="output .npy ranking path")
+    p5.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
     if args.cmd == "parse":
@@ -243,6 +253,17 @@ def main(argv=None):
         os.makedirs(args.out, exist_ok=True)
         np.save(os.path.join(args.out, "grud_dataset.npy"), xmd)
         print(f"wrote {xmd.shape} -> {args.out}/grud_dataset.npy")
+    elif args.cmd == "ig":
+        from raindrop_tpu.data.datasets import load_split
+        from raindrop_tpu.data.settings import information_gain_ranking
+
+        sp = load_split(args.root, args.dataset, args.split)
+        F = sp.Ptrain.shape[2] // 2
+        ranking = information_gain_ranking(sp.Ptrain[:, :, :F], sp.ytrain,
+                                           seed=args.seed)
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        np.save(args.out, ranking)
+        print(f"wrote sensor ranking {ranking[:5]}... -> {args.out}")
 
 
 if __name__ == "__main__":

@@ -91,3 +91,30 @@ def test_generate_splits(tmp_path):
     assert len(tr) == 80 and len(va) == 10 and len(te) == 10
     assert len(set(tr) | set(va) | set(te)) == 100
     assert len(list(tmp_path.glob("test_split*.npy"))) == 5
+
+
+def test_ig_ranking_cli(tmp_path):
+    """The Setting-2 sensor-ranking producer CLI (the reference's
+    standalone RF_information_gain.py) writes a valid permutation."""
+    import numpy as np
+    from raindrop_tpu.data.datasets import synthetic_raw
+    from raindrop_tpu.data.preprocess import main as pp_main
+
+    P, y = synthetic_raw("P19", 60, 0, T=8)  # binary labels (Setting 2)
+    d = tmp_path / "processed_data"
+    d.mkdir(parents=True)
+    np.save(d / "PT_dict_list_6.npy", P)
+    np.save(d / "arr_outcomes_6.npy",
+            y.reshape(-1, 1).astype(np.float64))
+    s = tmp_path / "splits"
+    s.mkdir()
+    n = len(y)
+    perm = np.random.default_rng(0).permutation(n)
+    np.save(s / "phy19_split1_new.npy",
+            np.array([perm[:48], perm[48:54], perm[54:]], dtype=object),
+            allow_pickle=True)
+    out = str(tmp_path / "ig.npy")
+    pp_main(["ig", "--root", str(tmp_path), "--dataset", "P19",
+             "--out", out])
+    ranking = np.load(out)
+    assert sorted(ranking.tolist()) == list(range(34))
