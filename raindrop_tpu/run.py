@@ -91,6 +91,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log-path", default=None)
     p.add_argument("--out-json", default=None,
                    help="write the summary dict as JSON here")
+    p.add_argument("--compare-golden", default=None, metavar="NPY",
+                   help="compare per-split accuracy/AUPRC/AUROC against a "
+                        "reference golden-results array ([3, n_splits] "
+                        "percent rows acc/auprc/auroc — the format of "
+                        "code/results/standard_phy12.npy, producer "
+                        "Transformer_baseline.py:470-471); prints a "
+                        "side-by-side table and the deltas")
     return p
 
 
@@ -220,12 +227,37 @@ def main(argv=None) -> int:
                     .test_metrics)
             summary = {
                 name: {"mean": float(np.mean([m[name] for m in per_split]) * 100),
-                       "std": float(np.std([m[name] for m in per_split]) * 100)}
+                       "std": float(np.std([m[name] for m in per_split]) * 100),
+                       "per_split": [m[name] * 100 for m in per_split]}
                 for name in per_split[0]}
             results = {"summary": summary, "per_split": per_split}
         all_results[f"missing_{mr}"] = results["summary"]
         for name, s in results["summary"].items():
             print(f"[mr={mr}] {name:>9} = {s['mean']:.1f} +/- {s['std']:.1f}")
+
+    if args.compare_golden:
+        # metric-level reproduction against the reference's saved results
+        # (SURVEY.md §6; BASELINE.md rows 1-3). Golden layout: rows
+        # acc/auprc/auroc, one column per split, in percent.
+        golden = np.asarray(np.load(args.compare_golden), np.float64)
+        summary = results["summary"]
+        names = ("accuracy", "auprc", "auroc")
+        print(f"--- golden comparison vs {args.compare_golden} ---")
+        print(f"{'metric':>9} {'ours mean':>10} {'golden mean':>12} "
+              f"{'delta':>8}  per-split deltas")
+        deltas = {}
+        for row, name in enumerate(names):
+            if name not in summary or row >= golden.shape[0]:
+                continue
+            ours = np.asarray(summary[name].get(
+                "per_split", [summary[name]["mean"]]), np.float64)
+            gold = golden[row][: len(ours)]
+            d = ours - gold
+            deltas[name] = float(np.mean(d))
+            print(f"{name:>9} {ours.mean():>10.2f} {gold.mean():>12.2f} "
+                  f"{np.mean(d):>+8.2f}  "
+                  + " ".join(f"{v:+.2f}" for v in d))
+        all_results["golden_delta"] = deltas
 
     if args.out_json:
         with open(args.out_json, "w") as f:

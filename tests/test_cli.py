@@ -83,3 +83,19 @@ def test_prepare_split_imputation_changes_values():
     assert not np.allclose(plain.Ptrain[:, :, :F], imp.Ptrain[:, :, :F])
     assert not np.allclose(plain.Pval[:, :, :F], imp.Pval[:, :, :F])
     assert imp.Ptrain[:, :, F:].sum() > plain.Ptrain[:, :, F:].sum()
+
+
+def test_cli_compare_golden(tmp_path, capsys):
+    """--compare-golden prints the side-by-side table and records deltas —
+    the runnable metric-level reproduction path against the reference's
+    code/results/standard_phy12.npy format (run it with the real figshare
+    data root to reproduce BASELINE.md rows 1-3)."""
+    golden = np.array([[55.0], [30.0], [50.0]])  # acc/auprc/auroc, 1 split
+    gp = str(tmp_path / "golden.npy")
+    np.save(gp, golden)
+    res = _run(tmp_path, "--model", "transformer",
+               "--compare-golden", gp, out="gc.json")
+    assert "golden_delta" in res
+    assert set(res["golden_delta"]) == {"accuracy", "auprc", "auroc"}
+    out = capsys.readouterr().out
+    assert "golden comparison" in out
