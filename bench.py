@@ -244,10 +244,22 @@ def bench_serve(dataset="P19", n_single=100, batch=128):
                                    for _ in range(stream_rounds))):
         pass
     stream_dt = time.perf_counter() - t0
+    # bf16 wire format: H2D bytes halve; the streaming regime is H2D-
+    # bandwidth-bound on tunneled backends, so this is the throughput tier
+    srv16 = InferenceServer(cfg, params, buckets=(batch,), precompile=True,
+                            transfer_dtype="bfloat16")
+    next(iter(srv16.predict_stream([(Pb, tb, sb)])))  # warm
+    t0 = time.perf_counter()
+    for out in srv16.predict_stream(((Pb, tb, sb)
+                                     for _ in range(stream_rounds))):
+        pass
+    stream16_dt = time.perf_counter() - t0
     return {"serve_p50_ms": float(np.percentile(lats, 50)),
             "serve_p99_ms": float(np.percentile(lats, 99)),
             "serve_b128_samples_per_sec": rounds * batch / dt,
-            "serve_stream_samples_per_sec": stream_rounds * batch / stream_dt}
+            "serve_stream_samples_per_sec": stream_rounds * batch / stream_dt,
+            "serve_stream_bf16_samples_per_sec":
+                stream_rounds * batch / stream16_dt}
 
 
 def bench_torch_reference(dataset="P19", batch_size=128, iters=3):
@@ -374,7 +386,8 @@ if __name__ == "__main__":
     serve = run_extra(["--serve-only"],
                       keys=("serve_p50_ms", "serve_p99_ms",
                             "serve_b128_samples_per_sec",
-                            "serve_stream_samples_per_sec"))
+                            "serve_stream_samples_per_sec",
+                            "serve_stream_bf16_samples_per_sec"))
     rnd = lambda v, n=2: None if v is None else round(v, n)  # noqa: E731
     print(json.dumps({
         "metric": "raindrop_p19_train_samples_per_sec",
@@ -394,5 +407,7 @@ if __name__ == "__main__":
         "serve_b128_samples_per_sec": rnd(serve["serve_b128_samples_per_sec"]),
         "serve_stream_samples_per_sec": rnd(
             serve["serve_stream_samples_per_sec"]),
+        "serve_stream_bf16_samples_per_sec": rnd(
+            serve["serve_stream_bf16_samples_per_sec"]),
         "backend": r["backend"],
     }))

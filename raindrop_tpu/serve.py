@@ -55,10 +55,21 @@ class InferenceServer:
         buckets: Sequence[int] = (1, 8, 32, 128),
         apply_fn=None,
         precompile: bool = True,
+        transfer_dtype: str = "float32",
     ):
+        """transfer_dtype: the WIRE format of request tensors. 'bfloat16'
+        halves host->device bytes — on remote/tunneled devices the
+        saturated streaming throughput is H2D-bandwidth-bound, so this is
+        ~2x samples/s (measured: docs/PERFORMANCE.md) — at an input
+        quantization of ~3 significant digits (inputs are z-scored values,
+        masks and hour timestamps, all of which survive bf16; compute
+        still runs the model's own dtype — the cast back to f32 happens
+        on device before the forward). Default stays exact f32.
+        """
         self.cfg = cfg
         self.params = jax.device_put(params)
         self.buckets = sorted(buckets)
+        self.transfer_dtype = jnp.dtype(transfer_dtype)
         self._apply = apply_fn or (
             lambda p, src, static, times, lengths:
             raindrop_apply(p, cfg, src, static, times, lengths)[0])
@@ -67,7 +78,11 @@ class InferenceServer:
                       "latency_ms_sum": 0.0}
 
         def fwd(params, P, times, static):
-            # batch-major request tensors -> the model's time-major boundary
+            # wire dtype -> model dtype on device, then batch-major
+            # request tensors -> the model's time-major boundary
+            P = P.astype(jnp.float32)
+            times = times.astype(jnp.float32)
+            static = None if static is None else static.astype(jnp.float32)
             src = P.transpose(1, 0, 2)
             tm = times.transpose(1, 0)
             lengths = jnp.sum(tm > 0, axis=0)
@@ -82,10 +97,10 @@ class InferenceServer:
 
     # -- compilation -------------------------------------------------------
     def _abstract_batch(self, b: int):
-        cfg = self.cfg
-        P = jax.ShapeDtypeStruct((b, cfg.max_len, 2 * cfg.d_inp), jnp.float32)
-        tm = jax.ShapeDtypeStruct((b, cfg.max_len), jnp.float32)
-        st = (jax.ShapeDtypeStruct((b, cfg.d_static), jnp.float32)
+        cfg, dt = self.cfg, self.transfer_dtype
+        P = jax.ShapeDtypeStruct((b, cfg.max_len, 2 * cfg.d_inp), dt)
+        tm = jax.ShapeDtypeStruct((b, cfg.max_len), dt)
+        st = (jax.ShapeDtypeStruct((b, cfg.d_static), dt)
               if cfg.static else None)
         return P, tm, st
 
@@ -192,10 +207,13 @@ class InferenceServer:
             raise ValueError(
                 f"model config expects static features [n, {self.cfg.d_static}]")
         runner = self._runner(b)
-        return runner(self.params, jnp.asarray(P, jnp.float32),
-                      jnp.asarray(times, jnp.float32),
+        dt = self.transfer_dtype
+        # the dtype cast happens HOST-SIDE so the H2D transfer carries the
+        # wire format (half the bytes for bfloat16)
+        return runner(self.params, jnp.asarray(np.asarray(P, dt)),
+                      jnp.asarray(np.asarray(times, dt)),
                       None if static is None else
-                      jnp.asarray(static, jnp.float32))
+                      jnp.asarray(np.asarray(static, dt)))
 
     def _predict_chunk(self, P, times, static) -> np.ndarray:
         n = P.shape[0]

@@ -137,3 +137,32 @@ def test_predict_stream_matches_predict():
     import pytest
     with pytest.raises(ValueError, match="exceeds top bucket"):
         list(srv.predict_stream([mk(5)]))
+
+
+def test_bf16_transfer_dtype_close_to_f32():
+    """bfloat16 wire format: same answers to input-quantization tolerance,
+    and the compiled signature actually takes bf16 arrays."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from raindrop_tpu.config import dataset_config
+    from raindrop_tpu.models.raindrop import raindrop_init
+    from raindrop_tpu.serve import InferenceServer
+
+    cfg = dataset_config("P19", max_len=8)
+    params = raindrop_init(jax.random.PRNGKey(0), cfg)
+    f32 = InferenceServer(cfg, params, buckets=(4,), precompile=False)
+    b16 = InferenceServer(cfg, params, buckets=(4,), precompile=False,
+                          transfer_dtype="bfloat16")
+    rng = np.random.default_rng(0)
+    T, F = cfg.max_len, cfg.d_inp
+    mask = (rng.uniform(size=(4, T, F)) > 0.5).astype(np.float32)
+    P = np.concatenate(
+        [rng.normal(size=(4, T, F)).astype(np.float32) * mask, mask], -1)
+    tm = np.cumsum(rng.uniform(0.1, 1.0, size=(4, T)), 1).astype(np.float32)
+    st = rng.normal(size=(4, cfg.d_static)).astype(np.float32)
+    a = f32.predict(P, tm, st)
+    b = b16.predict(P, tm, st)
+    np.testing.assert_allclose(a, b, atol=2e-2)
+    assert not np.array_equal(a, b)  # really quantized on the wire
+    assert b16._abstract_batch(4)[0].dtype == jnp.bfloat16
