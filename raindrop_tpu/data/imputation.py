@@ -21,14 +21,24 @@ import numpy as np
 
 def _time_lengths(X_time: np.ndarray) -> np.ndarray:
     """Per-sample observed length from the timestamp array [N, T] (first
-    zero after the initial step — utils_phy12.py:184-191)."""
+    zero after the initial step — utils_phy12.py:184-191).
+
+    One guarded case the reference mishandles: a fully-observed sample
+    whose only zero timestamp is the legitimate t=0 first observation.
+    The reference indexes zeros[1] unconditionally there and CRASHES with
+    IndexError; we return the full length T (the sample has no padding),
+    so such samples are imputed rather than skipped or crashed on.
+    """
     N, T = X_time.shape
     lengths = np.full(N, T, np.int64)
     for i in range(N):
         zeros = np.where(X_time[i] == 0)[0]
         if zeros.size == 0:
             continue
-        lengths[i] = zeros[1] if zeros[0] == 0 and zeros.size > 1 else zeros[0]
+        if zeros[0] == 0:
+            lengths[i] = zeros[1] if zeros.size > 1 else T
+        else:
+            lengths[i] = zeros[0]
     return lengths
 
 

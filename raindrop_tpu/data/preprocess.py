@@ -220,8 +220,11 @@ def main(argv=None):
     # IG_density_scores_<ds>.npy files consumed at Raindrop.py:227-231)
     p5 = sub.add_parser("ig")
     p5.add_argument("--root", required=True, help="dataset root")
+    # binary datasets only: the ranking scores one RF AUROC per sensor
+    # (settings.py), undefined for PAM's 8 classes — the reference script
+    # likewise only targets the binary sets
     p5.add_argument("--dataset", default="P12",
-                    choices=["P12", "P19", "eICU", "PAM"])
+                    choices=["P12", "P19", "eICU"])
     p5.add_argument("--split", type=int, default=1)
     p5.add_argument("--out", required=True, help="output .npy ranking path")
     p5.add_argument("--seed", type=int, default=0)

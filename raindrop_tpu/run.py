@@ -238,26 +238,38 @@ def main(argv=None) -> int:
     if args.compare_golden:
         # metric-level reproduction against the reference's saved results
         # (SURVEY.md §6; BASELINE.md rows 1-3). Golden layout: rows
-        # acc/auprc/auroc, one column per split, in percent.
-        golden = np.asarray(np.load(args.compare_golden), np.float64)
-        summary = results["summary"]
-        names = ("accuracy", "auprc", "auroc")
-        print(f"--- golden comparison vs {args.compare_golden} ---")
-        print(f"{'metric':>9} {'ours mean':>10} {'golden mean':>12} "
-              f"{'delta':>8}  per-split deltas")
-        deltas = {}
-        for row, name in enumerate(names):
-            if name not in summary or row >= golden.shape[0]:
-                continue
-            ours = np.asarray(summary[name].get(
-                "per_split", [summary[name]["mean"]]), np.float64)
-            gold = golden[row][: len(ours)]
-            d = ours - gold
-            deltas[name] = float(np.mean(d))
-            print(f"{name:>9} {ours.mean():>10.2f} {gold.mean():>12.2f} "
-                  f"{np.mean(d):>+8.2f}  "
-                  + " ".join(f"{v:+.2f}" for v in d))
-        all_results["golden_delta"] = deltas
+        # acc/auprc/auroc, one column per split, in percent. Compare only
+        # the STANDARD (missing_ratio 0.0) run — the regime the golden
+        # arrays record; mismatched split counts compare the overlapping
+        # prefix with a visible warning rather than crashing after a full
+        # training run (the out-json below must always be written).
+        if "missing_0.0" not in all_results:
+            print("--compare-golden skipped: no missing_ratio=0.0 run in "
+                  "this sweep (golden results are the standard setting)")
+        else:
+            golden = np.asarray(np.load(args.compare_golden), np.float64)
+            summary = all_results["missing_0.0"]
+            names = ("accuracy", "auprc", "auroc")
+            print(f"--- golden comparison vs {args.compare_golden} ---")
+            print(f"{'metric':>9} {'ours mean':>10} {'golden mean':>12} "
+                  f"{'delta':>8}  per-split deltas")
+            deltas = {}
+            for row, name in enumerate(names):
+                if name not in summary or row >= golden.shape[0]:
+                    continue
+                ours = np.asarray(summary[name].get(
+                    "per_split", [summary[name]["mean"]]), np.float64)
+                gold = np.atleast_1d(golden[row])
+                m = min(len(ours), len(gold))
+                if m < max(len(ours), len(gold)):
+                    print(f"  [warn] {name}: comparing first {m} splits "
+                          f"(ours {len(ours)} vs golden {len(gold)})")
+                d = ours[:m] - gold[:m]
+                deltas[name] = float(np.mean(d))
+                print(f"{name:>9} {ours[:m].mean():>10.2f} "
+                      f"{gold[:m].mean():>12.2f} {np.mean(d):>+8.2f}  "
+                      + " ".join(f"{v:+.2f}" for v in d))
+            all_results["golden_delta"] = deltas
 
     if args.out_json:
         with open(args.out_json, "w") as f:

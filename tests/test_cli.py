@@ -99,3 +99,14 @@ def test_cli_compare_golden(tmp_path, capsys):
     assert set(res["golden_delta"]) == {"accuracy", "auprc", "auroc"}
     out = capsys.readouterr().out
     assert "golden comparison" in out
+
+
+def test_cli_compare_golden_split_mismatch(tmp_path, capsys):
+    """A golden file with more splits than the run compares the overlap
+    with a warning — and still writes --out-json (no post-training crash)."""
+    golden = np.tile(np.array([[55.0], [30.0], [50.0]]), (1, 5))
+    gp = str(tmp_path / "g5.npy")
+    np.save(gp, golden)
+    res = _run(tmp_path, "--compare-golden", gp, out="gm.json")
+    assert "golden_delta" in res
+    assert "[warn]" in capsys.readouterr().out

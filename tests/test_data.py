@@ -139,3 +139,24 @@ def test_demographic_indices():
     male, female = demographic_indices(statics, "P12", "gender")
     np.testing.assert_array_equal(male, [1, 3, 5])
     np.testing.assert_array_equal(female, [0, 2, 4])
+
+
+def test_time_lengths_full_sample_with_zero_first_timestamp():
+    """A fully-observed sample whose only zero timestamp is the legitimate
+    t=0 first observation must get length T (the reference crashes with
+    IndexError there; returning 0 would silently skip imputing it —
+    round-3 review finding)."""
+    from raindrop_tpu.data.imputation import _time_lengths, mean_imputation
+
+    X_time = np.array([
+        [0.0, 1.0, 2.0, 3.0],    # full-length, starts at t=0
+        [0.5, 1.0, 0.0, 0.0],    # padded after 2 steps
+        [0.0, 1.0, 0.0, 0.0],    # starts at t=0, padded after 2 steps
+        [1.0, 2.0, 3.0, 4.0],    # full-length, no zeros
+    ])
+    np.testing.assert_array_equal(_time_lengths(X_time), [4, 2, 2, 4])
+    # and the full-length t0=0 sample actually gets imputed
+    X = np.zeros((1, 4, 2))
+    X[0, 1, 0] = 5.0  # one observation; the rest missing in-range
+    out = mean_imputation(X, X_time[:1], np.array([9.0, 7.0]))
+    assert out[0, 0, 0] == 9.0 and out[0, 3, 1] == 7.0
