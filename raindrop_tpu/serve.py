@@ -14,6 +14,12 @@ serving tier, TPU-shaped:
     bucket ladder converts dynamic traffic into them);
   * **Micro-batching queue**: concurrent requests are coalesced into one
     device launch (`InferenceServer.submit` is thread-safe);
+  * **Pipelined streaming** (`predict_stream`): depth-N launches + a D2H
+    fetch thread pool keep the device busy across requests — on tunneled
+    backends the fetch round-trip (~25 ms) otherwise bounds throughput;
+  * **bfloat16 wire format** (`transfer_dtype`): halves request bytes for
+    bandwidth-bound links (~2x streaming throughput, input-quantization
+    accuracy only — compute stays f32);
   * Params live on device once (`jax.device_put`), requests stream
     activations only.
 
