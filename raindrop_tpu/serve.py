@@ -69,8 +69,8 @@ class InferenceServer:
         ~2x samples/s (measured: docs/PERFORMANCE.md) — at an input
         quantization of ~3 significant digits (inputs are z-scored values,
         masks and hour timestamps, all of which survive bf16; compute
-        still runs the model's own dtype — the cast back to f32 happens
-        on device before the forward). Default stays exact f32.
+        still runs the model's own dtype — the cast back to cfg.dtype
+        happens on device before the forward). Default stays exact f32.
         """
         self.cfg = cfg
         self.params = jax.device_put(params)
@@ -83,12 +83,14 @@ class InferenceServer:
         self.stats = {"requests": 0, "samples": 0, "batches": 0,
                       "latency_ms_sum": 0.0}
 
+        model_dtype = jnp.dtype(cfg.dtype)
+
         def fwd(params, P, times, static):
-            # wire dtype -> model dtype on device, then batch-major
-            # request tensors -> the model's time-major boundary
-            P = P.astype(jnp.float32)
-            times = times.astype(jnp.float32)
-            static = None if static is None else static.astype(jnp.float32)
+            # wire dtype -> the model's configured dtype on device, then
+            # batch-major request tensors -> the model's time-major boundary
+            P = P.astype(model_dtype)
+            times = times.astype(model_dtype)
+            static = None if static is None else static.astype(model_dtype)
             src = P.transpose(1, 0, 2)
             tm = times.transpose(1, 0)
             lengths = jnp.sum(tm > 0, axis=0)

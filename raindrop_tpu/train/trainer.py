@@ -263,6 +263,9 @@ class Trainer:
         and fault injection (parallel/elastic.py).
         """
         cfg, tcfg = self.cfg, self.tcfg
+        if self._multihost:
+            # diagnostics print once per pod, not once per process
+            verbose = verbose and jax.process_index() == 0
         if self._multihost and not checkpoint_path:
             # best-val params can only be tracked via per-host shard files
             # on multi-host runs (device_get of sharded params is not
