@@ -48,12 +48,16 @@ def _enable_compile_cache():
 def bench_train_step(dataset="P19", batch_size=128, iters=20, warmup=3,
                      compute_dtype=None, deadline=None,
                      measure=("scan", "eval", "dispatched"),
-                     cfg_overrides=None):
+                     cfg_overrides=None, flops_accounting=True,
+                     progress_json=False):
     """deadline: optional time.time() timestamp — optional measurements
     (dispatched single-step, eval) are skipped once it passes, so one slow
     tunnel compile can't blow the whole bench run. measure: which regimes
     to time ('scan' always runs; 'eval'/'dispatched' are opt-in so the
-    driver can order independent measurements across subprocesses)."""
+    driver can order independent measurements across subprocesses).
+    flops_accounting: derive model FLOPs of the per-step program from XLA's
+    compiled cost analysis and report achieved TFLOP/s + MFU vs the v5e
+    197 TFLOP/s MXU peak (utils/diagnostics.compiled_flops)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -168,6 +172,13 @@ def bench_train_step(dataset="P19", batch_size=128, iters=20, warmup=3,
         out["edges_per_sec"] = samples_per_sec * F * F * 2  # 2 prop layers
         out["step_ms"] = 1000.0 * dt / iters
         out["loss"] = float(loss)
+        if progress_json:
+            # early partial line for the parent: if a later (flops/eval)
+            # compile outlives the subprocess budget, the measurement
+            # already made it out (the parent merges all JSON lines,
+            # including partial stdout of a timed-out child)
+            print(json.dumps({"samples_per_sec": samples_per_sec}),
+                  flush=True)
 
     if "eval" in measure and time_left():
         _log("compiling scanned eval")
@@ -192,6 +203,29 @@ def bench_train_step(dataset="P19", batch_size=128, iters=20, warmup=3,
             params, opt_state, loss = step(params, opt_state, k)
         jax.block_until_ready(loss)
         out["dispatched_step_ms"] = 1000.0 * (time.perf_counter() - t0) / iters
+
+    if flops_accounting:
+        # Model-FLOPs accounting AFTER the timings (its lower+compile of the
+        # unscanned per-step program must not contend with measurement; the
+        # persistent cache makes it near-free on warm runs). ShapeDtypeStruct
+        # lowering only — never touches the donated buffers.
+        from raindrop_tpu.utils.diagnostics import compiled_flops, mfu
+        if out.get("samples_per_sec"):
+            _log("cost analysis: train step")
+            tf = compiled_flops(step, params, opt_state, key)
+            if tf:
+                steps_per_sec = out["samples_per_sec"] / B
+                out["train_gflops_per_step"] = tf / 1e9
+                out["train_tflops"] = tf * steps_per_sec / 1e12
+                out["train_mfu"] = mfu(tf * steps_per_sec)
+        if out.get("eval_samples_per_sec"):
+            _log("cost analysis: eval forward")
+            ef = compiled_flops(eval_step, params)
+            if ef:
+                batches_per_sec = out["eval_samples_per_sec"] / B
+                out["eval_gflops_per_batch"] = ef / 1e9
+                out["eval_tflops"] = ef * batches_per_sec / 1e12
+                out["eval_mfu"] = mfu(ef * batches_per_sec)
     return out
 
 
@@ -297,31 +331,40 @@ if __name__ == "__main__":
     # timeout rather than letting one starve the headline JSON. All share
     # the persistent compile cache, so a warmed cache makes every mode
     # near-instant to compile.
+    def _extra_json(r):
+        return json.dumps({k: r[k] for k in
+                           ("samples_per_sec", "train_gflops_per_step",
+                            "train_tflops", "train_mfu") if r.get(k)})
+
     if "--big-only" in sys.argv:
         # large-batch bf16 mixed precision (MXU-native production ceiling)
         r = bench_train_step(batch_size=1024, compute_dtype="bfloat16",
-                             deadline=0, measure=("scan",))
-        print(json.dumps({"samples_per_sec": r["samples_per_sec"]}))
+                             deadline=0, measure=("scan",),
+                             progress_json=True)
+        print(_extra_json(r))
         sys.exit(0)
     if "--dataset" in sys.argv:
         # per-dataset extras: PAM (T=600, 8-class, no static — exercises
         # the Pallas flash-attention path) and P12 (T=215, F=36 — the
         # largest T*F product).
         ds = sys.argv[sys.argv.index("--dataset") + 1]
-        r = bench_train_step(dataset=ds, deadline=0, measure=("scan",))
-        print(json.dumps({"samples_per_sec": r["samples_per_sec"]}))
+        r = bench_train_step(dataset=ds, deadline=0, measure=("scan",),
+                             progress_json=True)
+        print(_extra_json(r))
         sys.exit(0)
     if "--dispatched-only" in sys.argv:
         # per-step dispatch overhead regime (one jit call per step)
-        r = bench_train_step(deadline=None, measure=("dispatched",))
+        r = bench_train_step(deadline=None, measure=("dispatched",),
+                             flops_accounting=False)
         print(json.dumps({"dispatched_step_ms": r["dispatched_step_ms"]}))
         sys.exit(0)
     if "--use-beta-only" in sys.argv:
         # the use_beta capability path (time-conditioned edge attention +
         # top-50% pruning — the sparse/COO regime)
         r = bench_train_step(deadline=0, measure=("scan",),
-                             cfg_overrides={"use_beta": True})
-        print(json.dumps({"samples_per_sec": r["samples_per_sec"]}))
+                             cfg_overrides={"use_beta": True},
+                             progress_json=True)
+        print(_extra_json(r))
         sys.exit(0)
     if "--serve-only" in sys.argv:
         print(json.dumps(bench_serve()))
@@ -355,8 +398,22 @@ if __name__ == "__main__":
 
     def run_extra(args_, keys=("samples_per_sec",)):
         """One bounded subprocess measurement; dict of keys (None values
-        on timeout/failure)."""
+        on timeout/failure). All JSON lines of the child are merged, so a
+        child that printed its measurement but timed out during the later
+        flops cost-analysis still contributes the measurement."""
         out = {k: None for k in keys}
+
+        def merge(text):
+            for ln in (text or "").strip().splitlines():
+                if ln.startswith("{"):
+                    try:
+                        d = json.loads(ln)
+                    except ValueError:
+                        continue
+                    for k_ in keys:
+                        if d.get(k_) is not None:
+                            out[k_] = d[k_]
+
         remaining = t_start + budget - time.time()
         if remaining < 60 or os.environ.get("RAINDROP_BENCH_EXTRAS", "1") == "0":
             return out
@@ -365,10 +422,11 @@ if __name__ == "__main__":
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)] + args_,
                 capture_output=True, text=True, timeout=remaining)
-            for ln in (p.stdout or "").strip().splitlines():
-                if ln.startswith("{"):
-                    d = json.loads(ln)
-                    return {k: d.get(k) for k in keys}
+            merge(p.stdout)
+        except subprocess.TimeoutExpired as e:
+            so = e.stdout
+            merge(so.decode("utf-8", "replace")
+                  if isinstance(so, bytes) else so)
         except (subprocess.SubprocessError, ValueError):
             pass
         return out
@@ -377,12 +435,13 @@ if __name__ == "__main__":
     # PAM first — the flash-attention regime is the single most
     # informative extra — then P12, bf16 ceiling, dispatch overhead,
     # the use_beta sparse path, and serving SLOs.
-    pam_sps = run_extra(["--dataset", "PAM"])["samples_per_sec"]
-    p12_sps = run_extra(["--dataset", "P12"])["samples_per_sec"]
-    big_sps = run_extra(["--big-only"])["samples_per_sec"]
+    flop_keys = ("samples_per_sec", "train_tflops", "train_mfu")
+    pam = run_extra(["--dataset", "PAM"], keys=flop_keys)
+    p12 = run_extra(["--dataset", "P12"], keys=flop_keys)
+    big = run_extra(["--big-only"], keys=flop_keys)
     disp_ms = run_extra(["--dispatched-only"],
                         keys=("dispatched_step_ms",))["dispatched_step_ms"]
-    beta_sps = run_extra(["--use-beta-only"])["samples_per_sec"]
+    beta = run_extra(["--use-beta-only"], keys=flop_keys)
     serve = run_extra(["--serve-only"],
                       keys=("serve_p50_ms", "serve_p99_ms",
                             "serve_b128_samples_per_sec",
@@ -397,11 +456,21 @@ if __name__ == "__main__":
         "eval_samples_per_sec": rnd(r["eval_samples_per_sec"]),
         "edges_per_sec": round(r["edges_per_sec"]),
         "step_ms": round(r["step_ms"], 3),
+        "train_gflops_per_step": rnd(r.get("train_gflops_per_step"), 3),
+        "train_tflops": rnd(r.get("train_tflops"), 2),
+        "mfu": rnd(r.get("train_mfu"), 4),
+        "eval_tflops": rnd(r.get("eval_tflops"), 2),
+        "eval_mfu": rnd(r.get("eval_mfu"), 4),
         "dispatched_step_ms": rnd(disp_ms, 3),
-        "bf16_b1024_samples_per_sec": rnd(big_sps),
-        "pam_train_samples_per_sec": rnd(pam_sps),
-        "p12_train_samples_per_sec": rnd(p12_sps),
-        "use_beta_train_samples_per_sec": rnd(beta_sps),
+        "bf16_b1024_samples_per_sec": rnd(big["samples_per_sec"]),
+        "bf16_b1024_mfu": rnd(big["train_mfu"], 4),
+        "pam_train_samples_per_sec": rnd(pam["samples_per_sec"]),
+        "pam_tflops": rnd(pam["train_tflops"], 2),
+        "pam_mfu": rnd(pam["train_mfu"], 4),
+        "p12_train_samples_per_sec": rnd(p12["samples_per_sec"]),
+        "p12_mfu": rnd(p12["train_mfu"], 4),
+        "use_beta_train_samples_per_sec": rnd(beta["samples_per_sec"]),
+        "use_beta_mfu": rnd(beta["train_mfu"], 4),
         "serve_p50_ms": rnd(serve["serve_p50_ms"], 3),
         "serve_p99_ms": rnd(serve["serve_p99_ms"], 3),
         "serve_b128_samples_per_sec": rnd(serve["serve_b128_samples_per_sec"]),

@@ -123,6 +123,49 @@ def debug_nan_context() -> Iterator[None]:
         jax.config.update("jax_debug_nans", prev)
 
 
+# Peak matmul throughput of the target chip, used as the MFU denominator.
+# TPU v5e (v5 lite): 197 TFLOP/s bf16. JAX's DEFAULT matmul precision on
+# TPU lowers float32 dots to bf16 MXU passes, so the same ceiling applies
+# to fp32-array runs (there is no separate native-f32 MXU rate on v5e);
+# MFU reported against this number is therefore conservative-correct for
+# both precisions. Override per-chip via the `peak_flops` argument.
+V5E_PEAK_FLOPS = 197e12
+
+
+def compiled_flops(jitted_fn, *args) -> Optional[float]:
+    """Model FLOPs of one call of a jitted function, from XLA's compiled
+    cost analysis (the basis for MFU accounting — SURVEY.md §6 north star).
+
+    `args` may be real arrays OR jax.ShapeDtypeStructs — lowering only
+    needs avals, so pass ShapeDtypeStructs to avoid touching (possibly
+    donated) buffers. NOTE: XLA's HloCostAnalysis counts a while/scan BODY
+    ONCE regardless of trip count (verified on jax 0.9), so call this on
+    the UNSCANNED per-step function and multiply by steps yourself.
+    Returns None if the backend exposes no cost model (never raises).
+    """
+    try:
+        avals = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), args)
+        cost = jitted_fn.lower(*avals).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):  # older jax returns [dict]
+            cost = cost[0] if cost else {}
+        flops = float(cost.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
+
+
+def mfu(flops_per_sec: Optional[float],
+        peak_flops: float = V5E_PEAK_FLOPS) -> Optional[float]:
+    """Model FLOPs utilization in [0, 1]: achieved model FLOP/s over the
+    chip's peak matmul FLOP/s. Model flops (from `compiled_flops`) count
+    the HLO as written — MXU tile padding waste is NOT credited, so this
+    is the honest utilization number."""
+    if flops_per_sec is None:
+        return None
+    return flops_per_sec / peak_flops
+
+
 class Throughput:
     """Rolling samples/s / edges/s counters.
 

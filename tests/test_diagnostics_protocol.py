@@ -184,3 +184,40 @@ def test_grud_bce_rejects_multiclass():
 
     with pytest.raises(ValueError, match="binary"):
         make_baseline("grud_bce", dataset_config("PAM", max_len=8))
+
+
+# ------------------------------------------------------- FLOPs / MFU
+def test_compiled_flops_counts_matmul():
+    """compiled_flops reads XLA's cost model: a [M,K]@[K,N] matmul must
+    report ~2*M*K*N model FLOPs (the basis of bench.py's MFU fields)."""
+    from raindrop_tpu.utils.diagnostics import compiled_flops, mfu
+
+    M, K, N = 64, 128, 256
+
+    @jax.jit
+    def f(x, w):
+        return x @ w
+
+    x = jax.ShapeDtypeStruct((M, K), jnp.float32)
+    w = jax.ShapeDtypeStruct((K, N), jnp.float32)
+    flops = compiled_flops(f, x, w)
+    if flops is None:
+        pytest.skip("backend exposes no cost model")
+    assert flops >= 2 * M * K * N
+    assert flops < 4 * M * K * N  # same order — not a trip-count blowup
+    assert mfu(flops, peak_flops=flops * 10) == pytest.approx(0.1)
+    assert mfu(None) is None
+
+
+def test_compiled_flops_accepts_pytree_args_and_never_raises():
+    from raindrop_tpu.utils.diagnostics import compiled_flops
+
+    @jax.jit
+    def g(tree, y):
+        return tree["a"] @ tree["b"] + y
+
+    tree = {"a": jnp.ones((8, 16)), "b": jnp.ones((16, 8))}
+    flops = compiled_flops(g, tree, jnp.ones((8, 8)))
+    assert flops is None or flops >= 2 * 8 * 16 * 8
+    # bad input: wrong arity — must return None, not raise
+    assert compiled_flops(g, tree) is None
