@@ -62,7 +62,8 @@ def bench_train_step(dataset="P19", batch_size=128, iters=20, warmup=3,
     import jax.numpy as jnp
     import optax
     from raindrop_tpu.config import dataset_config
-    from raindrop_tpu.models.raindrop import raindrop_apply, raindrop_init
+    from raindrop_tpu.models.raindrop import (
+        raindrop_apply, raindrop_init, raindrop_param_mask)
 
     cfg = dataset_config(dataset, compute_dtype=compute_dtype,
                          **(cfg_overrides or {}))
@@ -78,7 +79,14 @@ def bench_train_step(dataset="P19", batch_size=128, iters=20, warmup=3,
     y = jnp.asarray(rng.integers(0, cfg.n_classes, size=(B,)))
 
     params = raindrop_init(jax.random.PRNGKey(0), cfg)
-    opt = optax.adam(1e-4)
+    # The PRODUCTION optimizer (train/trainer.py:91-93): Adam masked to the
+    # live parameter set — torch Adam never touches params whose grad stays
+    # None (DEVIATIONS.md #10), and the dead set is large (P19: ~1.5M of
+    # 2.8M; PAM: 138.4M of 150.0M — increase_dim alone is 2x46M there).
+    # Benching unmasked Adam would charge the step for moment/update HBM
+    # traffic on dead weights that no real run (ours or the reference's)
+    # ever pays: measured 17.4 -> 12.2 ms on the PAM config.
+    opt = optax.masked(optax.adam(1e-4), raindrop_param_mask(cfg))
     opt_state = opt.init(params)
 
     def one_step(params, opt_state, key):

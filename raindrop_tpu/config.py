@@ -50,6 +50,13 @@ class RaindropConfig:
     # None => compute in `dtype` (the parity default).
     compute_dtype: Optional[str] = None
     attention_backend: str = "auto"  # 'auto' | 'dense' | 'flash' (Pallas)
+    # Operand dtype INSIDE the Pallas flash-attention kernel (scores/
+    # probabilities; softmax statistics and accumulation stay f32):
+    # 'bfloat16' (default) rides the MXU's native bf16 pass — the
+    # TPU-native choice, ~1e-2 relative error on attention outputs;
+    # 'float32' for bit-conservative runs / parity oracles. Only the
+    # flash backend reads this; the dense backend follows compute_dtype.
+    attention_score_dtype: str = "bfloat16"
     # graph-propagation backend: 'auto' = batched dense/masked-dense
     # formulations for the default complete graph (both use_beta paths);
     # 'coo' forces the vmapped per-sample XLA COO path (the semantics

@@ -248,6 +248,7 @@ def raindrop_propagate_beta_dense(
     dropout_rate: float = 0.0,
     rng=None,
     train: bool = False,
+    uniform_adj: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched dense formulation of the FULL use_beta two-layer propagation
     block (layer 1 with β-attention + top-50% pruning, then layer 2 over the
@@ -257,9 +258,7 @@ def raindrop_propagate_beta_dense(
     Exactly equal (tested) to vmapping `ob_propagate_coo` over the batch on
     the complete-graph edge list, but with zero gather/scatter: the segment
     ops become masked [B, s, t] reductions that XLA fuses, and the only
-    remaining contractions are dense einsums. 22x faster than the vmapped
-    COO path at P19 train scale on v5e (52.1k vs 2.3k samples/s measured;
-    docs/PERFORMANCE.md).
+    remaining contractions are dense einsums.
 
     Key identities making this exact:
       * β depends only on the TARGET node (x_i quirk) => β is [B, t, T] and
@@ -276,6 +275,17 @@ def raindrop_propagate_beta_dense(
       * alpha_all == the kept edges' mean-γ in argsort order == the top-K
         scores descending (the layer-2 pre-softmax α handoff the model
         returns for the distance regularizer).
+
+    uniform_adj=True (the shipped complete all-ones graph,
+    code/Raindrop.py:212) additionally FACTORS the layer-1 softmax: with
+    w[s, t] == 1 the γ-grid value γ[b, s, t, d] = γ_node[b, t, d] is
+    s-independent, so the per-source masked softmax-matvec collapses to one
+    shared exp over [B, t, D] (global-max stabilized; the max cancels in
+    the num/den ratio) and two `bst,btd->bsd` MXU matmuls — the [B, s, t, D]
+    grid (142 MB at P19 B=128, the HBM bottleneck of this path) never
+    materializes. Measured 52.7k -> see docs/PERFORMANCE.md. Falls back to
+    the grid when the adjacency really varies per-edge or when propagation
+    dropout is active (its per-edge-channel mask needs the grid).
 
     Returns (out2 [B, n, D], alpha_all [B, E//2]).
     """
@@ -297,14 +307,24 @@ def raindrop_propagate_beta_dense(
             + jnp.einsum("btsc,bsc->bts", h_w[..., 16:], pe)) / ch
     gamma_node = jnp.repeat(beta, ob_dim, axis=-1)            # [B, t, D]
 
-    # --- top-50% pruning by mean γ (same argsort as the COO path) --------
+    # --- top-50% pruning by mean γ (same selection as the COO path's
+    # stable argsort(-scores)[:K]: ties — which COLLIDE across sources
+    # under a uniform adjacency — go to the lowest flat edge index).
+    # A [B, E] boolean scatter from argsort indices lowers to a sort-based
+    # scatter on TPU (~0.5 ms/step at P19, the hottest op of this path);
+    # instead build the membership mask with one value sort + a tie quota:
+    # keep everything strictly above the K-th score, then fill the
+    # remaining quota from the == threshold ties in flat order.
     scores_grid = adj[None] * jnp.mean(beta, axis=-1)[:, None, :]  # [B, s, t]
     scores_flat = scores_grid.reshape(B, E)
-    order = jnp.argsort(-scores_flat, axis=-1)
-    kept = order[:, :K]
-    alpha_all = jnp.take_along_axis(scores_flat, kept, axis=1)     # [B, K]
-    mask = jnp.zeros((B, E), bool).at[
-        jnp.arange(B)[:, None], kept].set(True).reshape(B, n, n)
+    sorted_desc = -jnp.sort(-scores_flat, axis=-1)
+    alpha_all = sorted_desc[:, :K]                                 # [B, K]
+    thr = sorted_desc[:, K - 1: K]                                 # [B, 1]
+    above = scores_flat > thr
+    ties = scores_flat == thr
+    quota = K - jnp.sum(above, axis=-1, keepdims=True)
+    mask = (above | (ties & (jnp.cumsum(ties, axis=-1) <= quota))
+            ).reshape(B, n, n)
 
     def masked_softmax(z, mask_, axis):
         """Per-segment softmax with empty segments -> all-zero weights
@@ -317,11 +337,24 @@ def raindrop_propagate_beta_dense(
         return e / jnp.where(den == 0.0, 1.0, den)
 
     # --- layer 1: per-channel softmax grouped by SOURCE ------------------
-    gamma_grid = gamma_node[:, None, :, :] * adj[None, :, :, None]  # [B,s,t,D]
-    g1 = masked_softmax(gamma_grid, mask[..., None], axis=2)
-    g1 = _dropout(r1, g1, dropout_rate, train)
     v1 = jax.nn.relu(linear_apply(params1["lin_value"], x))         # [B, t, D]
-    out1 = jnp.einsum("bstd,btd->bsd", g1, v1)
+    drop_active = train and dropout_rate > 0.0 and rng is not None
+    if uniform_adj and not drop_active:
+        # factored form: γ-grid is s-independent (see docstring), the
+        # per-source max cancels in num/den, one global max stabilizes exp
+        M = jax.lax.stop_gradient(
+            jnp.max(gamma_node, axis=1, keepdims=True))             # [B,1,D]
+        e = jnp.exp(gamma_node - M)                                 # [B,t,D]
+        maskf = mask.astype(x.dtype)                                # [B,s,t]
+        num = jnp.einsum("bst,btd->bsd", maskf, e * v1)
+        den = jnp.einsum("bst,btd->bsd", maskf, e)
+        out1 = num / jnp.where(den == 0.0, 1.0, den)
+    else:
+        gamma_grid = (gamma_node[:, None, :, :]
+                      * adj[None, :, :, None])                      # [B,s,t,D]
+        g1 = masked_softmax(gamma_grid, mask[..., None], axis=2)
+        g1 = _dropout(r1, g1, dropout_rate, train)
+        out1 = jnp.einsum("bstd,btd->bsd", g1, v1)
 
     # --- layer 2 over the kept edges, weights = layer-1 pre-softmax α ----
     g2 = masked_softmax(scores_grid, mask, axis=1)                  # [B, s, t]

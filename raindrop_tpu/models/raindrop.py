@@ -197,7 +197,8 @@ def raindrop_apply(
             params["ob_propagation"], params["ob_propagation_layer2"],
             x_nodes, pe_b, adj, ob_dim=d_ob,
             dropout_rate=cfg.prop_dropout,
-            rng=jax.random.fold_in(r_prop1, 1), train=train)
+            rng=jax.random.fold_in(r_prop1, 1), train=train,
+            uniform_adj=True)
     else:
         edge_index, edge_weights = complete_graph_edges(F_)
         if global_adj is not None:
@@ -239,7 +240,8 @@ def raindrop_apply(
     r_out = transformer_encoder_apply(
         params["transformer_encoder"], output, mask, cfg.nhead,
         dropout_rate=cfg.dropout, rng=r_trans, train=train,
-        backend=cfg.attention_backend)
+        backend=cfg.attention_backend,
+        score_dtype=cfg.attention_score_dtype)
 
     # --- masked aggregation (code/models_rd.py:364-379) ---
     if cfg.sensor_wise_mask:

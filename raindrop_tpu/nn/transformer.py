@@ -67,6 +67,7 @@ def multihead_self_attention(
     rng=None,
     train: bool = False,
     backend: str = "auto",          # 'auto' | 'dense' | 'flash'
+    score_dtype: Optional[str] = "bfloat16",  # flash kernel operand dtype
 ) -> jnp.ndarray:
     B, T, d = x.shape
     hd = d // nhead
@@ -91,7 +92,10 @@ def multihead_self_attention(
         rate = dropout_rate if (train and rng is not None) else 0.0
         seed = (jax.random.randint(rng, (1,), 0, 2 ** 31 - 1, jnp.int32)
                 if rate > 0.0 else None)
-        out = flash_mha(heads(q), heads(k), heads(v), lengths, seed, rate)
+        cd = (None if score_dtype in (None, "float32")
+              else str(score_dtype))
+        out = flash_mha(heads(q), heads(k), heads(v), lengths, seed, rate,
+                        cd)
         out = out.transpose(0, 2, 1, 3).reshape(B, T, d)
         return linear_apply(p["out_proj"], out)
 
@@ -122,6 +126,7 @@ def transformer_encoder_layer_apply(
     rngs=None,                     # 4 keys (attn, post-attn, ffn, post-ffn)
     train: bool = False,
     backend: str = "auto",
+    score_dtype: Optional[str] = "bfloat16",
 ) -> jnp.ndarray:
     """One post-LN encoder layer (torch TransformerEncoderLayer semantics).
 
@@ -130,7 +135,8 @@ def transformer_encoder_layer_apply(
     """
     r = rngs if rngs is not None else [None] * 4
     attn = multihead_self_attention(
-        p, x, key_padding_mask, nhead, dropout_rate, r[0], train, backend)
+        p, x, key_padding_mask, nhead, dropout_rate, r[0], train, backend,
+        score_dtype)
     x = _layer_norm(p["ln1"], x + _dropout(r[1], attn, dropout_rate, train))
     h = jax.nn.relu(linear_apply(p["lin1"], x))
     h = _dropout(r[2], h, dropout_rate, train)
@@ -147,6 +153,7 @@ def transformer_encoder_apply(
     rng=None,
     train: bool = False,
     backend: str = "auto",
+    score_dtype: Optional[str] = "bfloat16",
 ) -> jnp.ndarray:
     num_layers = len(params)
     rngs = (jax.random.split(rng, 4 * num_layers)
@@ -154,5 +161,5 @@ def transformer_encoder_apply(
     for i in range(num_layers):
         x = transformer_encoder_layer_apply(
             params[f"layer{i}"], x, key_padding_mask, nhead, dropout_rate,
-            rngs[4 * i: 4 * i + 4], train, backend)
+            rngs[4 * i: 4 * i + 4], train, backend, score_dtype)
     return x

@@ -10,17 +10,40 @@ Covers the reference's nn.MultiheadAttention semantics used at
 reference code/models_rd.py:356-358:
   * key-padding mask (padded keys get -inf logits);
   * attention-probability dropout (torch passes the layer dropout into MHA);
-    implemented with the in-kernel TPU PRNG, re-seeded per (batch*head,
-    q-block, k-block) so forward and backward regenerate identical masks;
+    regenerated identically in forward and backward — from the TPU hardware
+    PRNG (pltpu.prng_seed/prng_random_bits, reseeded per (batch*head,
+    q-block, k-block)) on real hardware, and from a counter-based integer
+    hash in interpret mode (no Mosaic lowering for the PRNG there);
   * fully-padded query rows produce zeros (matches nn/transformer.py's safe
     softmax, not torch's NaN).
 
-Custom VJP: FLOPs are recomputed blockwise in the backward kernels (dkv and
-dq passes) from the saved log-sum-exp — the standard flash backward.
+Two regimes:
+  * T_pad <= MAX_FUSED_T — ONE program per (batch*head) holds q, k, v and
+    the full T x T score matrix in VMEM: two MXU matmuls, no streaming
+    overhead, and the inputs stay UNPADDED [BH, T, hd] (lane padding happens
+    inside the VMEM tiles for free) so the wrapper does no pad/slice/copy
+    layout churn at all. Measured on v5e at PAM dims (B=128, H=2, T=600,
+    hd=42) this path is ~2.5x XLA dense fwd+bwd.
+  * larger T — classic streaming flash (128-row q/k blocks, online softmax,
+    separate dq and dk/dv passes), inputs padded to the 128 block.
 
-Shapes: q, k, v [B, H, T, D]. The public wrapper pads T to the 128 block
-and D to a 128 lane multiple; zero-padded keys are masked off, zero-padded
-D contributes nothing to dots.
+Masking is one additive [1, T] bias row (0 for valid keys, -1e30 for
+padded): exp(s - m) then UNDERFLOWS TO EXACT ZERO for masked columns
+whenever the row has >= 1 valid key, so no per-element select is spent
+re-masking the [T, T] probability matrix (the VPU, not the MXU, is the
+bottleneck of this kernel at head_dim 42). Degenerate all-padded rows
+(length == 0) are fixed up with one select on the output.
+
+`compute_dtype="bfloat16"` stores q/k/v (and do) operands in bf16: MXU
+matmuls run native bf16 with f32 accumulation (preferred_element_type) and
+softmax statistics/lse stay f32. ~1e-2-relative output error; the model's
+flash path opts in via RaindropConfig.attention_score_dtype (default
+bfloat16 — the TPU-native choice), parity oracles pass None for exact f32.
+
+Custom VJP: FLOPs are recomputed blockwise in the backward kernels from the
+saved log-sum-exp — the standard flash backward.
+
+Shapes: q, k, v [B, H, T, D]; lengths [B] valid-key counts.
 """
 
 from __future__ import annotations
@@ -37,17 +60,22 @@ from jax.experimental.pallas import tpu as pltpu
 BLOCK = 128
 NEG_INF = -1e30
 
+MAX_FUSED_T = 1024
+
 
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _dropout_keep(seed_ref, bh, iq, ik, shape, rate):
-    """Deterministic per-element keep mask from a counter-based integer hash
-    (xorshift-multiply finalizer). Forward and backward call this with
-    identical (bh, iq, ik) so masks agree by construction; pure jnp, so it
-    runs the same under Mosaic and in CPU interpret mode (pltpu.prng_seed
-    has no interpret-mode lowering)."""
+# --------------------------------------------------------------------------
+# dropout mask generation: TPU hardware PRNG on device, counter-hash in
+# interpret mode. Both are deterministic in (seed, bh, iq, ik) so forward
+# and backward regenerate identical masks by construction.
+# --------------------------------------------------------------------------
+
+def _dropout_keep_hash(seed_ref, bh, iq, ik, shape, rate):
+    """Counter-based integer hash (xorshift-multiply finalizer); pure jnp,
+    so it runs under Mosaic AND in CPU interpret mode."""
     rows, cols = shape
     r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
     c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
@@ -64,38 +92,138 @@ def _dropout_keep(seed_ref, bh, iq, ik, shape, rate):
     return (x >= threshold).astype(jnp.float32)
 
 
+def _dropout_keep(seed_ref, bh, iq, ik, shape, rate, hw_prng):
+    if not hw_prng:
+        return _dropout_keep_hash(seed_ref, bh, iq, ik, shape, rate)
+    # Hardware PRNG: reseed deterministically per (seed, bh, iq, ik) so
+    # every kernel (fwd, dq, dkv) regenerates the same bits for the same
+    # logical block regardless of its own loop order. Mosaic accepts at
+    # most 2 seed words — fold the block coordinates into them.
+    s0 = seed_ref[0] + bh * jnp.int32(-2048144789)       # 0x85EBCA6B
+    s1 = (jnp.int32(iq) * jnp.int32(-1640531527)         # 0x9E3779B9
+          + jnp.int32(ik) * jnp.int32(-1028477387))      # 0xC2B2AE35
+    pltpu.prng_seed(s0, s1)
+    bits = pltpu.prng_random_bits(shape)
+    threshold = jnp.uint32(int(rate * float(2 ** 32)))
+    return (pltpu.bitcast(bits, jnp.uint32) >= threshold).astype(jnp.float32)
+
+
+def _col_bias(length, t):
+    """[1, t] additive mask row: 0 for col < length else NEG_INF."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, t), 1)
+    return jnp.where(col < length, 0.0, NEG_INF).astype(jnp.float32)
+
+
+# --------------------------------------------------------------------------
+# fused single-program kernels (T_pad <= MAX_FUSED_T): whole head in VMEM
+# --------------------------------------------------------------------------
+
+def _fused_fwd_kernel(seed_ref, lengths_ref, q_ref, k_ref, v_ref,
+                      o_ref, lse_ref, *, scale, dropout_rate, t, hw_prng):
+    bh = pl.program_id(0)
+    length = lengths_ref[bh]
+    q = q_ref[0]
+    s = jax.lax.dot_general(q, k_ref[0], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    s = s + _col_bias(length, t)                         # [T, T] + [1, T]
+    m = jnp.max(s, axis=1, keepdims=True)
+    # masked cols: s - m <= NEG_INF/2 -> exp underflows to exact 0 for any
+    # row with >= 1 valid key; length==0 rows are garbage, fixed up below
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    if dropout_rate > 0.0:
+        keep = _dropout_keep(seed_ref, bh, 0, 0, (t, t), dropout_rate,
+                             hw_prng)
+        p = p * keep / (1.0 - dropout_rate)
+    o = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) / l
+    valid = length > 0
+    o_ref[0] = jnp.where(valid, o, 0.0)
+    lse_ref[0, 0, :] = jnp.where(valid, m[:, 0] + jnp.log(l[:, 0]), NEG_INF)
+
+
+def _fused_bwd_kernel(seed_ref, lengths_ref, q_ref, k_ref, v_ref, do_ref,
+                      lse_ref, delta_ref, dq_ref, dk_ref, dv_ref,
+                      *, scale, dropout_rate, t, hw_prng):
+    bh = pl.program_id(0)
+    length = lengths_ref[bh]
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0, 0, :][:, None]
+    delta = delta_ref[0, 0, :][:, None]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    s = s + _col_bias(length, t)
+    # p = exp(s - lse): masked cols underflow to 0 (s has the -1e30 bias and
+    # lse is finite for valid rows); all-padded rows have lse == NEG_INF and
+    # produce garbage that the `valid` select below zeroes out.
+    p = jnp.exp(s - lse)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    if dropout_rate > 0.0:
+        keep = _dropout_keep(seed_ref, bh, 0, 0, (t, t), dropout_rate,
+                             hw_prng)
+        p_drop = p * keep / (1.0 - dropout_rate)
+        dp = dp * keep / (1.0 - dropout_rate)
+    else:
+        p_drop = p
+    ds = p * (dp - delta)
+    valid = (length > 0).astype(jnp.float32)
+    od = v_ref.dtype
+    dq_ref[0] = jax.lax.dot_general(
+        ds.astype(od), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * (scale * valid)
+    dk_ref[0] = jax.lax.dot_general(
+        ds.astype(od), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * (scale * valid)
+    dv_ref[0] = jax.lax.dot_general(
+        p_drop.astype(od), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * valid
+
+
+# --------------------------------------------------------------------------
+# streaming kernels (T_pad > MAX_FUSED_T): 128-row blocks, online softmax
+# --------------------------------------------------------------------------
+
 def _fwd_kernel(seed_ref, lengths_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                *, scale, dropout_rate, t_pad):
+                *, scale, dropout_rate, t_pad, hw_prng):
     bh = pl.program_id(0)
     iq = pl.program_id(1)
     nk = t_pad // BLOCK
-    q = q_ref[0] * scale                                   # [BLOCK, D]
+    q = q_ref[0]                                           # [BLOCK, D]
     length = lengths_ref[bh]
 
     m = jnp.full((BLOCK, 1), NEG_INF, jnp.float32)
     l = jnp.zeros((BLOCK, 1), jnp.float32)
-    acc = jnp.zeros_like(q_ref[0])
+    acc = jnp.zeros(q.shape, jnp.float32)
 
     def body(ik, carry):
         m, l, acc = carry
         k = k_ref[0, pl.ds(ik * BLOCK, BLOCK), :]
         v = v_ref[0, pl.ds(ik * BLOCK, BLOCK), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        col = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1) + ik * BLOCK
-        valid = col < length
-        s = jnp.where(valid, s, NEG_INF)
+                                preferred_element_type=jnp.float32) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1) + ik * BLOCK
+        s = s + jnp.where(col < length, 0.0, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-        # re-mask after the subtraction: for fully-masked rows
-        # s - m_new == 0 and exp would resurrect the padded keys
-        p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
+        # masked cols underflow to exact 0 (finite -1e30 bias); a fully-
+        # masked BLOCK keeps m_new == m from the carry, and if the carry is
+        # still NEG_INF (no valid key seen yet) s - m_new is ~0 for masked
+        # entries — so re-guard only that corner with the bias sign
+        p = jnp.exp(jnp.minimum(s - m_new, 0.0) + jnp.where(
+            col < length, 0.0, NEG_INF))
         corr = jnp.exp(m - m_new)
         l_new = l * corr + jnp.sum(p, axis=1, keepdims=True)
         if dropout_rate > 0.0:
             keep = _dropout_keep(seed_ref, bh, iq, ik, (BLOCK, BLOCK),
-                                 dropout_rate)
+                                 dropout_rate, hw_prng)
             p = p * keep / (1.0 - dropout_rate)
-        acc_new = acc * corr + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        acc_new = acc * corr + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         return m_new, l_new, acc_new
 
     m, l, acc = jax.lax.fori_loop(0, nk, body, (m, l, acc))
@@ -107,148 +235,94 @@ def _fwd_kernel(seed_ref, lengths_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
 
 def _dq_kernel(seed_ref, lengths_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-               delta_ref, dq_ref, *, scale, dropout_rate, t_pad):
+               delta_ref, dq_ref, *, scale, dropout_rate, t_pad, hw_prng):
     bh = pl.program_id(0)
     iq = pl.program_id(1)
     nk = t_pad // BLOCK
-    q = q_ref[0] * scale
+    q = q_ref[0]
     do = do_ref[0]
     lse = lse_ref[0, 0, pl.ds(iq * BLOCK, BLOCK)][:, None]
     delta = delta_ref[0, 0, pl.ds(iq * BLOCK, BLOCK)][:, None]
     length = lengths_ref[bh]
+    od = v_ref.dtype
 
     def body(ik, dq):
         k = k_ref[0, pl.ds(ik * BLOCK, BLOCK), :]
         v = v_ref[0, pl.ds(ik * BLOCK, BLOCK), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        col = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1) + ik * BLOCK
-        valid = col < length
-        p = jnp.where(valid, jnp.exp(s - lse), 0.0)          # [BLOCK, BLOCK]
+                                preferred_element_type=jnp.float32) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1) + ik * BLOCK
+        s = s + jnp.where(col < length, 0.0, NEG_INF)
+        # lse == NEG_INF (all-padded row) -> s - lse ~ finite garbage; those
+        # rows are zeroed by the `valid` factor on dq below
+        p = jnp.exp(jnp.minimum(s - lse, 0.0) + jnp.where(
+            col < length, 0.0, NEG_INF))
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         if dropout_rate > 0.0:
             keep = _dropout_keep(seed_ref, bh, iq, ik, (BLOCK, BLOCK),
-                                 dropout_rate)
+                                 dropout_rate, hw_prng)
             dp = dp * keep / (1.0 - dropout_rate)
         ds = p * (dp - delta)
-        return dq + jnp.dot(ds, k, preferred_element_type=jnp.float32)
+        return dq + jax.lax.dot_general(
+            ds.astype(od), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
-    dq = jax.lax.fori_loop(0, nk, body, jnp.zeros_like(q))
-    dq_ref[0] = dq * scale
+    dq = jax.lax.fori_loop(0, nk, body, jnp.zeros(q.shape, jnp.float32))
+    dq_ref[0] = dq * (scale * (length > 0).astype(jnp.float32))
 
 
 def _dkv_kernel(seed_ref, lengths_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                delta_ref, dk_ref, dv_ref, *, scale, dropout_rate, t_pad):
+                delta_ref, dk_ref, dv_ref, *, scale, dropout_rate, t_pad,
+                hw_prng):
     bh = pl.program_id(0)
     ik = pl.program_id(1)
     nq = t_pad // BLOCK
     k = k_ref[0]                                            # [BLOCK, D]
     v = v_ref[0]
     length = lengths_ref[bh]
-    col = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1) + ik * BLOCK
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1) + ik * BLOCK
+    bias = jnp.where(col < length, 0.0, NEG_INF)
+    od = v_ref.dtype
 
     def body(iq, carry):
         dk, dv = carry
-        q = q_ref[0, pl.ds(iq * BLOCK, BLOCK), :] * scale
+        q = q_ref[0, pl.ds(iq * BLOCK, BLOCK), :]
         do = do_ref[0, pl.ds(iq * BLOCK, BLOCK), :]
         lse = lse_ref[0, 0, pl.ds(iq * BLOCK, BLOCK)][:, None]
         delta = delta_ref[0, 0, pl.ds(iq * BLOCK, BLOCK)][:, None]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        p = jnp.where(col < length, jnp.exp(s - lse), 0.0)
+                                preferred_element_type=jnp.float32) * scale
+        p = jnp.exp(jnp.minimum(s + bias - lse, 0.0) + bias)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         if dropout_rate > 0.0:
             keep = _dropout_keep(seed_ref, bh, iq, ik, (BLOCK, BLOCK),
-                                 dropout_rate)
+                                 dropout_rate, hw_prng)
             p_drop = p * keep / (1.0 - dropout_rate)
             dp = dp * keep / (1.0 - dropout_rate)
         else:
             p_drop = p
         ds = p * (dp - delta)
         dv_new = dv + jax.lax.dot_general(
-            p_drop, do, (((0,), (0,)), ((), ())),
+            p_drop.astype(od), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dk_new = dk + jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
+            ds.astype(od), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return dk_new, dv_new
 
-    dk, dv = jax.lax.fori_loop(0, nq, body,
-                               (jnp.zeros_like(k), jnp.zeros_like(v)))
-    # q inside the loop already carries the 1/sqrt(D) factor, so dk = ds^T @ q
-    # is complete — no extra scale here.
-    dk_ref[0] = dk
-    dv_ref[0] = dv
+    dk, dv = jax.lax.fori_loop(
+        0, nq, body, (jnp.zeros(k.shape, jnp.float32),
+                      jnp.zeros(v.shape, jnp.float32)))
+    valid = (length > 0).astype(jnp.float32)
+    dk_ref[0] = dk * (scale * valid)
+    dv_ref[0] = dv * valid
 
 
-
-# ---------------------------------------------------------------------------
-# Fused single-program path: for T_pad <= MAX_FUSED_T the whole per-head
-# problem (q, k, v and the T x T score matrix) fits in VMEM, so streaming
-# is pure overhead — one program per (batch*head) does masked softmax
-# attention with two MXU matmuls and zero HBM traffic for the scores.
-# Measured on v5e at B=128, H=2, T=600, D=42: fused 1.9x faster than the
-# streaming kernel and 2.5x faster than XLA dense fwd+bwd.
-# ---------------------------------------------------------------------------
-
-MAX_FUSED_T = 1024
-
-
-def _fused_fwd_kernel(seed_ref, lengths_ref, q_ref, k_ref, v_ref,
-                      o_ref, lse_ref, *, scale, dropout_rate, t_pad):
-    bh = pl.program_id(0)
-    length = lengths_ref[bh]
-    q = q_ref[0] * scale
-    s = jax.lax.dot_general(q, k_ref[0], (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    col = jax.lax.broadcasted_iota(jnp.int32, (t_pad, t_pad), 1)
-    valid = col < length
-    s = jnp.where(valid, s, NEG_INF)
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.where(valid, jnp.exp(s - m), 0.0)
-    l = jnp.sum(p, axis=1, keepdims=True)
-    if dropout_rate > 0.0:
-        keep = _dropout_keep(seed_ref, bh, 0, 0, (t_pad, t_pad), dropout_rate)
-        p = p * keep / (1.0 - dropout_rate)
-    safe_l = jnp.where(l > 0, l, 1.0)
-    o_ref[0] = jnp.dot(p, v_ref[0], preferred_element_type=jnp.float32) / safe_l
-    lse_ref[0, 0, :] = jnp.where(l[:, 0] > 0,
-                                 m[:, 0] + jnp.log(safe_l[:, 0]), NEG_INF)
-
-
-def _fused_bwd_kernel(seed_ref, lengths_ref, q_ref, k_ref, v_ref, do_ref,
-                      lse_ref, delta_ref, dq_ref, dk_ref, dv_ref,
-                      *, scale, dropout_rate, t_pad):
-    bh = pl.program_id(0)
-    length = lengths_ref[bh]
-    q = q_ref[0] * scale
-    k = k_ref[0]
-    v = v_ref[0]
-    do = do_ref[0]
-    lse = lse_ref[0, 0, :][:, None]
-    delta = delta_ref[0, 0, :][:, None]
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    col = jax.lax.broadcasted_iota(jnp.int32, (t_pad, t_pad), 1)
-    p = jnp.where(col < length, jnp.exp(s - lse), 0.0)
-    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    if dropout_rate > 0.0:
-        keep = _dropout_keep(seed_ref, bh, 0, 0, (t_pad, t_pad), dropout_rate)
-        p_drop = p * keep / (1.0 - dropout_rate)
-        dp = dp * keep / (1.0 - dropout_rate)
-    else:
-        p_drop = p
-    ds = p * (dp - delta)
-    dq_ref[0] = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
-    # q already carries 1/sqrt(D)
-    dk_ref[0] = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-    dv_ref[0] = jax.lax.dot_general(p_drop, do, (((0,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-
+# --------------------------------------------------------------------------
+# wrappers
+# --------------------------------------------------------------------------
 
 def _pad_to(x, size, axis):
     pad = size - x.shape[axis]
@@ -269,11 +343,9 @@ def _specs(t_pad, d_pad, blocked: bool):
                         memory_space=pltpu.VMEM)
 
 
-def _row_spec(t_pad, blocked: bool = False):
-    # lse/delta live as [BH, 1, t_pad]; always a full-row block (TPU block
-    # shapes must tile (8, 128) or equal the array dims), programs slice
-    # their BLOCK window with pl.ds.
-    del blocked
+def _row_spec(t_pad):
+    # lse/delta live as [BH, 1, t_pad]; always a full-row block, programs
+    # slice their BLOCK window with pl.ds.
     return pl.BlockSpec((1, 1, t_pad), lambda bh, *i: (bh, 0, 0),
                         memory_space=pltpu.VMEM)
 
@@ -285,133 +357,185 @@ def _scalar_specs():
     ]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def flash_mha(q, k, v, lengths, seed=None, dropout_rate=0.0):
+def _operand_dtype(compute_dtype):
+    if compute_dtype is None:
+        return jnp.float32
+    dt = jnp.dtype(compute_dtype)
+    if dt not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+        raise ValueError(f"unsupported flash compute_dtype {compute_dtype}")
+    return dt
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def flash_mha(q, k, v, lengths, seed=None, dropout_rate=0.0,
+              compute_dtype=None):
     """softmax(QK^T/√D + padmask)V, blockwise.
 
     q, k, v: [B, H, T, D] float32; lengths: [B] int32 valid key counts.
-    seed: int32 array [1] (traced — no recompile per step); dropout_rate is
-    static. seed=None means 0.
+    seed: int32 array [1] (traced — no recompile per step); dropout_rate and
+    compute_dtype are static. seed=None means 0. compute_dtype None keeps
+    exact f32 operands; "bfloat16" stores operands bf16 (native MXU passes,
+    f32 accumulation, f32 softmax statistics — ~1e-2 relative error).
     """
-    o, _ = _flash_fwd(q, k, v, lengths, seed, dropout_rate)
+    o, _ = _flash_fwd(q, k, v, lengths, seed, dropout_rate, compute_dtype)
     return o
 
 
-def _flash_call(q, k, v, lengths, seed, dropout_rate):
+def _seed_arr(seed):
+    return (jnp.zeros((1,), jnp.int32) if seed is None
+            else jnp.asarray(seed, jnp.int32).reshape(1))
+
+
+def _fused_call(q, k, v, lengths, seed, dropout_rate, compute_dtype):
+    """Fused path: inputs [B, H, T, D] unpadded (T padded to sublane 8)."""
+    B, H, T, D = q.shape
+    t8 = -(-T // 8) * 8
+    od = _operand_dtype(compute_dtype)
+    interpret = _use_interpret()
+
+    def prep(x):
+        return _pad_to(x, t8, 2).reshape(B * H, t8, D).astype(od)
+
+    qp, kp, vp = prep(q), prep(k), prep(v)
+    lens = jnp.repeat(lengths.astype(jnp.int32), H)
+    scale = 1.0 / math.sqrt(D)
+    kernel = functools.partial(_fused_fwd_kernel, scale=scale,
+                               dropout_rate=dropout_rate, t=t8,
+                               hw_prng=not interpret)
+    full = pl.BlockSpec((1, t8, D), lambda bh: (bh, 0, 0),
+                        memory_space=pltpu.VMEM)
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=(B * H,),
+        in_specs=_scalar_specs() + [full, full, full],
+        out_specs=[pl.BlockSpec((1, t8, D), lambda bh: (bh, 0, 0),
+                                memory_space=pltpu.VMEM), _row_spec(t8)],
+        out_shape=[jax.ShapeDtypeStruct((B * H, t8, D), jnp.float32),
+                   jax.ShapeDtypeStruct((B * H, 1, t8), jnp.float32)],
+        interpret=interpret,
+    )(_seed_arr(seed), lens, qp, kp, vp)
+    return o, lse, (qp, kp, vp, lens)
+
+
+def _streaming_call(q, k, v, lengths, seed, dropout_rate, compute_dtype):
     B, H, T, D = q.shape
     t_pad = -(-T // BLOCK) * BLOCK
     d_pad = max(-(-D // BLOCK) * BLOCK, BLOCK)
+    od = _operand_dtype(compute_dtype)
     scale = 1.0 / math.sqrt(D)
+    interpret = _use_interpret()
 
-    qp = _pad_to(_pad_to(q, t_pad, 2), d_pad, 3).reshape(B * H, t_pad, d_pad)
-    kp = _pad_to(_pad_to(k, t_pad, 2), d_pad, 3).reshape(B * H, t_pad, d_pad)
-    vp = _pad_to(_pad_to(v, t_pad, 2), d_pad, 3).reshape(B * H, t_pad, d_pad)
+    def prep(x):
+        return (_pad_to(_pad_to(x, t_pad, 2), d_pad, 3)
+                .reshape(B * H, t_pad, d_pad).astype(od))
+
+    qp, kp, vp = prep(q), prep(k), prep(v)
     lens = jnp.repeat(lengths.astype(jnp.int32), H)
-    seed_arr = (jnp.zeros((1,), jnp.int32) if seed is None
-                else jnp.asarray(seed, jnp.int32).reshape(1))
-
-    fused = t_pad <= MAX_FUSED_T
-    if fused:
-        grid = (B * H,)
-        kernel = functools.partial(_fused_fwd_kernel, scale=scale,
-                                   dropout_rate=dropout_rate, t_pad=t_pad)
-        q_spec = _specs(t_pad, d_pad, blocked=False)
-    else:
-        grid = (B * H, t_pad // BLOCK)
-        kernel = functools.partial(_fwd_kernel, scale=scale,
-                                   dropout_rate=dropout_rate, t_pad=t_pad)
-        q_spec = _specs(t_pad, d_pad, blocked=True)
+    grid = (B * H, t_pad // BLOCK)
+    kernel = functools.partial(_fwd_kernel, scale=scale,
+                               dropout_rate=dropout_rate, t_pad=t_pad,
+                               hw_prng=not interpret)
     o, lse = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=_scalar_specs() + [
-            q_spec,                                # q
-            _specs(t_pad, d_pad, blocked=False),   # k
-            _specs(t_pad, d_pad, blocked=False),   # v
-        ],
-        out_specs=[q_spec, _row_spec(t_pad)],
-        out_shape=[jax.ShapeDtypeStruct((B * H, t_pad, d_pad), jnp.float32),
-                   jax.ShapeDtypeStruct((B * H, 1, t_pad), jnp.float32)],
-        interpret=_use_interpret(),
-    )(seed_arr, lens, qp, kp, vp)
-    return o, lse, (qp, kp, vp, lens, t_pad, d_pad, scale)
-
-
-def _flash_fwd(q, k, v, lengths, seed, dropout_rate):
-    B, H, T, D = q.shape
-    o_p, lse, (qp, kp, vp, lens, t_pad, d_pad, scale) = _flash_call(
-        q, k, v, lengths, seed, dropout_rate)
-    o = o_p.reshape(B, H, t_pad, d_pad)[:, :, :T, :D]
-    seed_arr = (jnp.zeros((1,), jnp.int32) if seed is None
-                else jnp.asarray(seed, jnp.int32).reshape(1))
-    return o, (qp, kp, vp, lens, seed_arr, o_p, lse, (B, H, T, D))
-
-
-def _flash_bwd(dropout_rate, res, g):
-    qp, kp, vp, lens, seed_arr, o_p, lse, (B, H, T, D) = res
-    t_pad, d_pad = qp.shape[1], qp.shape[2]
-    scale = 1.0 / math.sqrt(D)
-    do = _pad_to(_pad_to(g, t_pad, 2), d_pad, 3).reshape(B * H, t_pad, d_pad)
-    delta = jnp.sum(do * o_p, axis=-1)[:, None, :]           # [BH, 1, t_pad]
-    if t_pad <= MAX_FUSED_T:
-        full = _specs(t_pad, d_pad, blocked=False)
-        dq, dk, dv = pl.pallas_call(
-            functools.partial(_fused_bwd_kernel, scale=scale,
-                              dropout_rate=dropout_rate, t_pad=t_pad),
-            grid=(B * H,),
-            in_specs=_scalar_specs() + [full, full, full, full,
-                                        _row_spec(t_pad), _row_spec(t_pad)],
-            out_specs=[full, full, full],
-            out_shape=[jax.ShapeDtypeStruct((B * H, t_pad, d_pad), jnp.float32)] * 3,
-            interpret=_use_interpret(),
-        )(seed_arr, lens, qp, kp, vp, do, lse, delta)
-
-        def unpad(x):
-            return x.reshape(B, H, t_pad, d_pad)[:, :, :T, :D]
-
-        return unpad(dq), unpad(dk), unpad(dv), None, None
-    grid = (B * H, t_pad // BLOCK)
-
-    dq = pl.pallas_call(
-        functools.partial(_dq_kernel, scale=scale,
-                          dropout_rate=dropout_rate, t_pad=t_pad),
         grid=grid,
         in_specs=_scalar_specs() + [
             _specs(t_pad, d_pad, blocked=True),    # q
             _specs(t_pad, d_pad, blocked=False),   # k
             _specs(t_pad, d_pad, blocked=False),   # v
-            _specs(t_pad, d_pad, blocked=True),    # do
-            _row_spec(t_pad),                      # lse
-            _row_spec(t_pad),                      # delta
         ],
-        out_specs=_specs(t_pad, d_pad, blocked=True),
-        out_shape=jax.ShapeDtypeStruct((B * H, t_pad, d_pad), jnp.float32),
-        interpret=_use_interpret(),
+        out_specs=[_specs(t_pad, d_pad, blocked=True), _row_spec(t_pad)],
+        out_shape=[jax.ShapeDtypeStruct((B * H, t_pad, d_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((B * H, 1, t_pad), jnp.float32)],
+        interpret=interpret,
+    )(_seed_arr(seed), lens, qp, kp, vp)
+    return o, lse, (qp, kp, vp, lens)
+
+
+def _flash_fwd(q, k, v, lengths, seed, dropout_rate, compute_dtype):
+    B, H, T, D = q.shape
+    fused = -(-T // 8) * 8 <= MAX_FUSED_T
+    call = _fused_call if fused else _streaming_call
+    o_p, lse, (qp, kp, vp, lens) = call(
+        q, k, v, lengths, seed, dropout_rate, compute_dtype)
+    t_p, d_p = o_p.shape[1], o_p.shape[2]
+    o = o_p.reshape(B, H, t_p, d_p)[:, :, :T, :D]
+    return o, (qp, kp, vp, lens, _seed_arr(seed), o_p, lse, (B, H, T, D))
+
+
+def _flash_bwd(dropout_rate, compute_dtype, res, g):
+    qp, kp, vp, lens, seed_arr, o_p, lse, (B, H, T, D) = res
+    t_p, d_p = qp.shape[1], qp.shape[2]
+    od = qp.dtype
+    scale = 1.0 / math.sqrt(D)
+    interpret = _use_interpret()
+    do = (_pad_to(_pad_to(g, t_p, 2), d_p, 3)
+          .reshape(B * H, t_p, d_p).astype(od))
+    # delta in f32 from the f32 saved output
+    delta = jnp.sum(do.astype(jnp.float32) * o_p, axis=-1)[:, None, :]
+
+    if -(-T // 8) * 8 <= MAX_FUSED_T:
+        full = pl.BlockSpec((1, t_p, d_p), lambda bh: (bh, 0, 0),
+                            memory_space=pltpu.VMEM)
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(_fused_bwd_kernel, scale=scale,
+                              dropout_rate=dropout_rate, t=t_p,
+                              hw_prng=not interpret),
+            grid=(B * H,),
+            in_specs=_scalar_specs() + [full, full, full, full,
+                                        _row_spec(t_p), _row_spec(t_p)],
+            out_specs=[full, full, full],
+            out_shape=[jax.ShapeDtypeStruct((B * H, t_p, d_p),
+                                            jnp.float32)] * 3,
+            interpret=interpret,
+        )(seed_arr, lens, qp, kp, vp, do, lse, delta)
+
+        def unpad(x):
+            return x.reshape(B, H, t_p, d_p)[:, :, :T, :D]
+
+        return unpad(dq), unpad(dk), unpad(dv), None, None
+
+    grid = (B * H, t_p // BLOCK)
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale,
+                          dropout_rate=dropout_rate, t_pad=t_p,
+                          hw_prng=not interpret),
+        grid=grid,
+        in_specs=_scalar_specs() + [
+            _specs(t_p, d_p, blocked=True),    # q
+            _specs(t_p, d_p, blocked=False),   # k
+            _specs(t_p, d_p, blocked=False),   # v
+            _specs(t_p, d_p, blocked=True),    # do
+            _row_spec(t_p),                    # lse
+            _row_spec(t_p),                    # delta
+        ],
+        out_specs=_specs(t_p, d_p, blocked=True),
+        out_shape=jax.ShapeDtypeStruct((B * H, t_p, d_p), jnp.float32),
+        interpret=interpret,
     )(seed_arr, lens, qp, kp, vp, do, lse, delta)
 
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale,
-                          dropout_rate=dropout_rate, t_pad=t_pad),
+                          dropout_rate=dropout_rate, t_pad=t_p,
+                          hw_prng=not interpret),
         grid=grid,
         in_specs=_scalar_specs() + [
-            _specs(t_pad, d_pad, blocked=False),   # q
-            _specs(t_pad, d_pad, blocked=True),    # k
-            _specs(t_pad, d_pad, blocked=True),    # v
-            _specs(t_pad, d_pad, blocked=False),   # do
-            _row_spec(t_pad),                      # lse
-            _row_spec(t_pad),                      # delta
+            _specs(t_p, d_p, blocked=False),   # q
+            _specs(t_p, d_p, blocked=True),    # k
+            _specs(t_p, d_p, blocked=True),    # v
+            _specs(t_p, d_p, blocked=False),   # do
+            _row_spec(t_p),                    # lse
+            _row_spec(t_p),                    # delta
         ],
-        out_specs=[_specs(t_pad, d_pad, blocked=True),
-                   _specs(t_pad, d_pad, blocked=True)],
-        out_shape=[jax.ShapeDtypeStruct((B * H, t_pad, d_pad), jnp.float32),
-                   jax.ShapeDtypeStruct((B * H, t_pad, d_pad), jnp.float32)],
-        interpret=_use_interpret(),
+        out_specs=[_specs(t_p, d_p, blocked=True),
+                   _specs(t_p, d_p, blocked=True)],
+        out_shape=[jax.ShapeDtypeStruct((B * H, t_p, d_p), jnp.float32),
+                   jax.ShapeDtypeStruct((B * H, t_p, d_p), jnp.float32)],
+        interpret=interpret,
     )(seed_arr, lens, qp, kp, vp, do, lse, delta)
 
     def unpad(x):
-        return x.reshape(B, H, t_pad, d_pad)[:, :, :T, :D]
+        return x.reshape(B, H, t_p, d_p)[:, :, :T, :D]
 
-    # the kernels already fold the final *scale in, so just unpad.
     return unpad(dq), unpad(dk), unpad(dv), None, None
 
 

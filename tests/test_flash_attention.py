@@ -83,6 +83,38 @@ def test_transformer_flash_backend_equals_dense(rng_np):
     lengths = np.array([48, 20, 5])
     mask = jnp.asarray(np.arange(T)[None] >= lengths[:, None])
     out_d = transformer_encoder_apply(params, x, mask, nhead, backend="dense")
-    out_f = transformer_encoder_apply(params, x, mask, nhead, backend="flash")
+    # exact f32 kernel operands
+    out_f = transformer_encoder_apply(params, x, mask, nhead, backend="flash",
+                                      score_dtype="float32")
     np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_f),
                                rtol=1e-4, atol=1e-5)
+    # default bf16 kernel operands (the TPU-native score dtype): close at
+    # bf16 tolerance, not bitwise
+    out_b = transformer_encoder_apply(params, x, mask, nhead, backend="flash")
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_b),
+                               rtol=3e-2, atol=3e-2)
+
+
+def test_bf16_compute_dtype_close_to_f32(rng_np):
+    q, k, v = _rand_qkv(rng_np, 2, 2, 70, 20)
+    lengths = jnp.asarray([70, 33], jnp.int32)
+    o_ref = attention_reference(q, k, v, lengths)
+    o16 = flash_mha(q, k, v, lengths, None, 0.0, "bfloat16")
+    np.testing.assert_allclose(np.asarray(o16), np.asarray(o_ref),
+                               rtol=3e-2, atol=3e-2)
+    # grads flow and stay close under bf16 operands
+    g1 = jax.grad(lambda *a: jnp.sum(
+        flash_mha(*a, lengths, None, 0.0, "bfloat16") ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(lambda *a: jnp.sum(attention_reference(*a, lengths) ** 2),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-2, atol=5e-2)
+    # length-0 sample: zero output, zero grads, all finite
+    lengths0 = jnp.asarray([70, 0], jnp.int32)
+    o0 = flash_mha(q, k, v, lengths0, None, 0.0, "bfloat16")
+    assert bool(jnp.all(o0[1] == 0.0)) and bool(jnp.all(jnp.isfinite(o0)))
+    gq = jax.grad(lambda a: jnp.sum(
+        flash_mha(a, k, v, lengths0, None, 0.0, "bfloat16") ** 2))(q)
+    assert bool(jnp.all(gq[1] == 0.0)) and bool(jnp.all(jnp.isfinite(gq)))

@@ -164,8 +164,9 @@ def _beta_coo_pair(params1, params2, x, p_t, edge_index, w, d_ob, n):
     return o2, a2[:, 0]
 
 
+@pytest.mark.parametrize("uniform_adj", [True, False])
 @pytest.mark.parametrize("n,T,B", [(6, 10, 3), (34, 12, 4)])
-def test_beta_dense_matches_vmapped_coo(rng_np, n, T, B):
+def test_beta_dense_matches_vmapped_coo(rng_np, n, T, B, uniform_adj):
     """raindrop_propagate_beta_dense == vmap(two-layer COO) bit-for-bit in
     selection (same argsort tie-breaking under a uniform adjacency) and to
     fp tolerance in values — including the all-ones-weights tie regime the
@@ -184,7 +185,8 @@ def test_beta_dense_matches_vmapped_coo(rng_np, n, T, B):
         lambda xb, pb: _beta_coo_pair(params1, params2, xb, pb,
                                       edge_index, w, d_ob, n))(x, pe)
     dense_o, dense_a = raindrop_propagate_beta_dense(
-        params1, params2, x, pe, jnp.ones((n, n), jnp.float32), ob_dim=d_ob)
+        params1, params2, x, pe, jnp.ones((n, n), jnp.float32), ob_dim=d_ob,
+        uniform_adj=uniform_adj)
 
     np.testing.assert_allclose(np.asarray(dense_a), np.asarray(coo_a),
                                rtol=1e-5, atol=1e-6)
