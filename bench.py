@@ -366,6 +366,15 @@ if __name__ == "__main__":
                              flops_accounting=False)
         print(json.dumps({"dispatched_step_ms": r["dispatched_step_ms"]}))
         sys.exit(0)
+    if "--pallas-prop-only" in sys.argv:
+        # prop_backend='pallas': the fused one-hot-MXU SpMM kernel on the
+        # complete graph — documents the honest crossover (XLA dense wins
+        # at the shipped sizes; the kernel is for sparser topologies)
+        r = bench_train_step(deadline=0, measure=("scan",),
+                             cfg_overrides={"prop_backend": "pallas"},
+                             progress_json=True)
+        print(_extra_json(r))
+        sys.exit(0)
     if "--use-beta-only" in sys.argv:
         # the use_beta capability path (time-conditioned edge attention +
         # top-50% pruning — the sparse/COO regime)
@@ -450,6 +459,7 @@ if __name__ == "__main__":
     disp_ms = run_extra(["--dispatched-only"],
                         keys=("dispatched_step_ms",))["dispatched_step_ms"]
     beta = run_extra(["--use-beta-only"], keys=flop_keys)
+    pallas_prop = run_extra(["--pallas-prop-only"], keys=flop_keys)
     serve = run_extra(["--serve-only"],
                       keys=("serve_p50_ms", "serve_p99_ms",
                             "serve_b128_samples_per_sec",
@@ -479,6 +489,8 @@ if __name__ == "__main__":
         "p12_mfu": rnd(p12["train_mfu"], 4),
         "use_beta_train_samples_per_sec": rnd(beta["samples_per_sec"]),
         "use_beta_mfu": rnd(beta["train_mfu"], 4),
+        "pallas_prop_train_samples_per_sec": rnd(
+            pallas_prop["samples_per_sec"]),
         "serve_p50_ms": rnd(serve["serve_p50_ms"], 3),
         "serve_p99_ms": rnd(serve["serve_p99_ms"], 3),
         "serve_b128_samples_per_sec": rnd(serve["serve_b128_samples_per_sec"]),

@@ -60,8 +60,13 @@ class RaindropConfig:
     # graph-propagation backend: 'auto' = batched dense/masked-dense
     # formulations for the default complete graph (both use_beta paths);
     # 'coo' forces the vmapped per-sample XLA COO path (the semantics
-    # oracle — always used when a custom global_adj is passed)
-    prop_backend: str = "auto"   # 'auto' | 'coo'
+    # oracle — always used when a custom global_adj is passed and the
+    # backend is 'auto'); 'pallas' dispatches the fused one-hot-MXU
+    # SpMM+segment-softmax kernel (ops/sparse_pallas.py) for general
+    # shared-topology graphs, complete or custom global_adj alike
+    # (use_beta=False; falls back to the XLA paths when propagation
+    # dropout is active or use_beta=True — see models/raindrop.py)
+    prop_backend: str = "auto"   # 'auto' | 'coo' | 'pallas'
 
     @property
     def d_model(self) -> int:
@@ -131,6 +136,16 @@ class TrainConfig:
     # gathering (~2.6x per-step at Raindrop shapes; see Trainer). Off => the
     # per-step dispatch path (always used under a sharded mesh).
     scan_epoch: bool = True
+    # Input pipeline regime: 'resident' keeps the whole split on device
+    # (the default; with scan_epoch the epoch is one dispatch and batches
+    # gather on-device). 'streaming' trains through data/prefetch.py's
+    # PrefetchExecutor — batches are assembled on host worker threads
+    # (native C++ gathers when built) and device_put on the producer so
+    # H2D transfer of batch k+1 overlaps the compute of batch k: the
+    # regime for datasets that exceed HBM. Identical results to resident
+    # (same sampler stream, same train step — tested). Single-host only.
+    input_pipeline: str = "resident"      # 'resident' | 'streaming'
+    prefetch_depth: int = 2               # streaming double-buffer depth
     checkpoint_dir: str = "checkpoints"
     log_path: Optional[str] = None        # JSONL log file
     # weight on the model's aux output in the train loss (IP-Net uses its

@@ -175,7 +175,41 @@ def raindrop_apply(
     # --- graph propagation, 2 layers (code/models_rd.py:306-343) ---
     x_nodes = _to_node_features(h_b, F_, d_ob)             # [B, F, T*d_ob]
     dense_ok = global_adj is None and cfg.prop_backend != "coo"
-    if dense_ok and not cfg.use_beta:
+    pallas_ok = (cfg.prop_backend == "pallas" and not cfg.use_beta
+                 and not (train and cfg.prop_dropout > 0.0))
+    if pallas_ok:
+        # Fused Pallas SpMM + segment-softmax backend (ops/sparse_pallas.py)
+        # for GENERAL shared-topology graphs — complete or custom global_adj
+        # alike. Each layer is the use_beta=False Ob_propagation step:
+        # messages gather the TARGET's features (x_i quirk), softmax groups
+        # by target, layer-2 edge weights are layer-1's pre-softmax alpha
+        # == the input edge weights (reference code/Ob_propagation.py:190-200).
+        # Softmax-weight dropout needs the XLA paths (kernel has none), so
+        # pallas_ok excludes active prop_dropout; use_beta's per-sample
+        # pruned topology is out of scope for the shared-topology kernel
+        # (docs/PERFORMANCE.md) and falls through to the dense-β/COO paths.
+        from raindrop_tpu.ops.sparse_pallas import spmm_segment_softmax
+
+        edge_index, edge_weights = complete_graph_edges(F_)
+        ei = jnp.asarray(edge_index)
+        if global_adj is not None:
+            edge_weights = global_adj[ei[0], ei[1]].astype(dtype)
+        else:
+            edge_weights = jnp.asarray(edge_weights, dtype)
+        gamma = jnp.broadcast_to(
+            edge_weights[None].astype(jnp.float32), (B, ei.shape[1]))
+        v1 = jax.nn.relu(linear_apply(params["ob_propagation"]["lin_value"],
+                                      x_nodes)).astype(jnp.float32)
+        out1, _ = spmm_segment_softmax(
+            v1, gamma, ei[0], ei[1], n_nodes=F_, gather_target=True)
+        v2 = jax.nn.relu(linear_apply(
+            params["ob_propagation_layer2"]["lin_value"],
+            out1.astype(dtype))).astype(jnp.float32)
+        out2, _ = spmm_segment_softmax(
+            v2, gamma, ei[0], ei[1], n_nodes=F_, gather_target=True)
+        out2 = out2.astype(dtype)
+        alpha_all = gamma.astype(dtype)                    # pre-softmax alpha
+    elif dense_ok and not cfg.use_beta:
         # Complete all-ones graph (code/Raindrop.py:212): dense fast path.
         adj = jnp.ones((F_, F_), dtype)
         out1, alpha1 = ob_propagate_dense_complete(

@@ -88,6 +88,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "(mTAND_baseline.py:117-121); applies to the first "
                         "split/run trained")
     p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--input-pipeline", default="resident",
+                   choices=["resident", "streaming"],
+                   help="'resident' keeps the split on device (scanned "
+                        "epochs); 'streaming' trains through the "
+                        "double-buffered host prefetch executor "
+                        "(data/prefetch.py) — the regime for datasets "
+                        "that exceed HBM; identical results")
+    p.add_argument("--prop-backend", default="auto",
+                   choices=["auto", "coo", "pallas"],
+                   help="graph-propagation backend (config.py): 'pallas' "
+                        "dispatches the fused one-hot-MXU SpMM kernel "
+                        "for general shared-topology graphs")
     p.add_argument("--log-path", default=None)
     p.add_argument("--out-json", default=None,
                    help="write the summary dict as JSON here")
@@ -134,7 +146,8 @@ def main(argv=None) -> int:
     if args.max_len is not None:
         cfg_kw["max_len"] = args.max_len
     cfg = dataset_config(args.dataset, use_beta=args.use_beta,
-                         sensor_wise_mask=args.sensor_wise_mask, **cfg_kw)
+                         sensor_wise_mask=args.sensor_wise_mask,
+                         prop_backend=args.prop_backend, **cfg_kw)
     missing_ratios = ([0.1, 0.2, 0.3, 0.4, 0.5] if args.withmissingratio
                       else [0.0])
 
@@ -154,6 +167,7 @@ def main(argv=None) -> int:
             feature_removal_level=args.feature_removal_level,
             missing_ratio=mr, predictive_label=args.predictive_label,
             seed=args.seed, checkpoint_dir=args.checkpoint_dir,
+            input_pipeline=args.input_pipeline,
             log_path=args.log_path,
             resplit_per_run=args.resplit_per_run,
             diag_frozen_params=args.diag_frozen_params)

@@ -327,7 +327,16 @@ class Trainer:
         # each epoch as ONE scanned dispatch (see train_epoch in _build).
         # Sharded meshes keep the per-step path (per-batch device_put with
         # NamedSharding).
-        use_scan = self.mesh is None and tcfg.scan_epoch
+        if tcfg.input_pipeline not in ("resident", "streaming"):
+            raise ValueError(
+                f"unknown input_pipeline {tcfg.input_pipeline!r} "
+                "(expected 'resident' or 'streaming')")
+        streaming = tcfg.input_pipeline == "streaming"
+        if streaming and self._multihost:
+            raise ValueError(
+                "input_pipeline='streaming' is single-host; multi-host runs "
+                "assemble per-process slices (parallel/multihost.py)")
+        use_scan = self.mesh is None and tcfg.scan_epoch and not streaming
         if use_scan:
             train_dev = {"P": jnp.asarray(split.Ptrain),
                          "time": jnp.asarray(split.Ptrain_time),
@@ -347,6 +356,32 @@ class Trainer:
                 loss = losses[-1]
                 last_idx = idx[-1]
                 n_samples_done += idx.size
+            elif streaming:
+                # Streaming regime (SURVEY.md §2.8): host-thread batch
+                # assembly + producer-side device_put double buffering
+                # (data/prefetch.py). Same sampler stream and train step as
+                # the resident paths => identical results (tested,
+                # tests/test_prefetch.py).
+                from raindrop_tpu.data.prefetch import PrefetchExecutor
+
+                idx_list = [np.asarray(i) for i in balanced_batches(
+                    split.ytrain, tcfg.batch_size, strategy, rng_np,
+                    n_batches=n_batches)]
+                host = {"P": split.Ptrain, "time": split.Ptrain_time,
+                        "y": np.asarray(split.ytrain)}
+                if split.Ptrain_static is not None:
+                    host["static"] = split.Ptrain_static
+                put = (jax.device_put if self._batch_sharding is None else
+                       (lambda b: jax.device_put(b, self._batch_sharding)))
+                with PrefetchExecutor(host, idx_list,
+                                      depth=tcfg.prefetch_depth,
+                                      to_device=put) as ex:
+                    for idx, batch in zip(idx_list, ex):
+                        key, step_key = jax.random.split(key)
+                        params, opt_state, loss, logits = self._train_step(
+                            params, opt_state, batch, step_key)
+                        n_samples_done += len(idx)
+                last_idx = idx_list[-1]
             else:
                 # every process draws the SAME seeded global index stream;
                 # _device_batch shards it per process on multi-host runs

@@ -177,3 +177,46 @@ class TestPrefetchExecutor:
                 # strategy-2 batches are half negatives, half positives
                 assert (batch["y"] == 0).sum() == 8
                 assert (batch["y"] == 1).sum() == 8
+
+
+def test_trainer_streaming_pipeline_matches_resident():
+    """The PRODUCT wiring (VERDICT r3 #3b): Trainer with
+    tcfg.input_pipeline='streaming' trains through PrefetchExecutor and
+    produces IDENTICAL results to the resident per-step path — same
+    sampler stream, same compiled train step, only the batch transport
+    differs."""
+    from raindrop_tpu.config import TrainConfig, dataset_config
+    from raindrop_tpu.data.datasets import synthetic_split
+    from raindrop_tpu.train.trainer import Trainer
+
+    cfg = dataset_config("P19", max_len=8)
+    cfg = type(cfg)(**{**cfg.__dict__, "d_ob": 2})
+    split = synthetic_split("P19", n=120, seed=0, T=8)
+
+    def run(pipeline, scan):
+        tcfg = TrainConfig(dataset="P19", num_epochs=2, batch_size=16,
+                           n_splits=1, seed=3, scan_epoch=scan,
+                           input_pipeline=pipeline)
+        tr = Trainer(cfg, tcfg)
+        return tr.train_split(split, verbose=False)
+
+    res_stream = run("streaming", scan=True)   # streaming overrides scan
+    res_step = run("resident", scan=False)
+    assert res_stream.test_metrics == res_step.test_metrics
+    for a, b in zip(res_stream.history, res_step.history):
+        assert a["val_auroc"] == b["val_auroc"]
+        np.testing.assert_allclose(a["train_loss"], b["train_loss"],
+                                   rtol=1e-6)
+
+
+def test_trainer_streaming_rejects_bad_pipeline():
+    from raindrop_tpu.config import TrainConfig, dataset_config
+    from raindrop_tpu.data.datasets import synthetic_split
+    from raindrop_tpu.train.trainer import Trainer
+
+    cfg = dataset_config("P19", max_len=8)
+    split = synthetic_split("P19", n=40, seed=0, T=8)
+    tcfg = TrainConfig(dataset="P19", num_epochs=1, batch_size=8,
+                       input_pipeline="bogus")
+    with pytest.raises(ValueError, match="input_pipeline"):
+        Trainer(cfg, tcfg).train_split(split, verbose=False)
