@@ -100,6 +100,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="graph-propagation backend (config.py): 'pallas' "
                         "dispatches the fused one-hot-MXU SpMM kernel "
                         "for general shared-topology graphs")
+    p.add_argument("--dropout", type=float, default=None,
+                   help="override the model dropout (the reference "
+                        "hard-codes per-dataset values; 0 makes training "
+                        "deterministic — used by the golden-reproduction "
+                        "harness)")
     p.add_argument("--log-path", default=None)
     p.add_argument("--out-json", default=None,
                    help="write the summary dict as JSON here")
@@ -145,6 +150,8 @@ def main(argv=None) -> int:
     cfg_kw = {}
     if args.max_len is not None:
         cfg_kw["max_len"] = args.max_len
+    if args.dropout is not None:
+        cfg_kw["dropout"] = args.dropout
     cfg = dataset_config(args.dataset, use_beta=args.use_beta,
                          sensor_wise_mask=args.sensor_wise_mask,
                          prop_backend=args.prop_backend, **cfg_kw)
