@@ -26,12 +26,34 @@ import jax.numpy as jnp
 from raindrop_tpu.config import RaindropConfig
 
 
-def make_baseline(name: str, cfg: RaindropConfig
+def make_baseline(name: str, cfg: RaindropConfig, hp: dict = None
                   ) -> Tuple[Callable, Callable]:
-    """(init_fn, apply_fn) for Trainer(cfg, tcfg, init_fn=..., apply_fn=...)."""
+    """(init_fn, apply_fn) for Trainer(cfg, tcfg, init_fn=..., apply_fn=...).
+
+    hp: per-family hyperparameters, keyed by the reference drivers' own
+    flag names (underscored). Defaults below are the reference drivers'
+    published values — mTAND `mTAND_baseline.py:21-52` (rec-hidden 32,
+    embed-time 128, num-heads 1), MTGNN `MTGNN_baseline.py:281-289`
+    (conv 16 / residual 16 / skip 32 / end 64, 5 layers, dilation 2,
+    gcn_depth 2, subgraph 20), DGM2 `DGM2_baseline.py:74-84,305-308`
+    (cluster_num 20, latent 10, ode units 10), IP-Net
+    `IP_Net_baseline.py` (192 ref points, hid 100, 48 h). run.py exposes
+    every knob as grouped `--<family>-<flag>` arguments.
+    """
+    hp = dict(hp or {})
     F = cfg.d_inp
 
+    def pop(key, default):
+        return hp.pop(key, default)
+
+    def done():
+        if hp:
+            raise ValueError(
+                f"unknown hyperparameters for baseline {name!r}: "
+                f"{sorted(hp)}")
+
     if name == "transformer":
+        done()
         from raindrop_tpu.baselines.transformer import (
             transformer2_apply, transformer2_init)
         return (lambda key: transformer2_init(key, cfg),
@@ -40,6 +62,7 @@ def make_baseline(name: str, cfg: RaindropConfig
                                    train=train, rng=rng))
 
     if name == "transformer_ctx":
+        done()
         from raindrop_tpu.baselines.transformer_ctx import (
             transformer_ctx_apply, transformer_ctx_init)
         return (lambda key: transformer_ctx_init(key, cfg),
@@ -48,6 +71,7 @@ def make_baseline(name: str, cfg: RaindropConfig
                                       train=train, rng=rng))
 
     if name == "transformer_moe":
+        done()
         from raindrop_tpu.baselines.transformer_moe import (
             transformer_moe_apply, transformer_moe_init)
         return (lambda key: transformer_moe_init(key, cfg),
@@ -56,12 +80,14 @@ def make_baseline(name: str, cfg: RaindropConfig
                                       train=train, rng=rng))
 
     if name == "seft":
+        done()
         from raindrop_tpu.baselines.seft import seft_apply, seft_init
         return (lambda key: seft_init(key, cfg),
                 lambda p, src, st, tm, ln, train, rng:
                 seft_apply(p, cfg, src, st, tm, ln, train=train, rng=rng))
 
     if name == "raindrop_v1":
+        done()
         from raindrop_tpu.models.raindrop_v1 import (
             raindrop_v1_apply, raindrop_v1_init)
         return (lambda key: raindrop_v1_init(key, cfg),
@@ -70,6 +96,7 @@ def make_baseline(name: str, cfg: RaindropConfig
                                   train=train, rng=rng))
 
     if name in ("grud", "grud_bce"):
+        done()
         from raindrop_tpu.baselines.grud import (
             build_delta, grud_apply, grud_init)
 
@@ -107,9 +134,16 @@ def make_baseline(name: str, cfg: RaindropConfig
     if name == "mtand":
         from raindrop_tpu.baselines.mtand import mtand_apply, mtand_init
 
+        nhidden = pop("rec_hidden", 32)
+        embed_time = pop("embed_time", 128)
+        num_heads = pop("num_heads", 1)
+        n_ref = pop("num_ref_points", 128)
+        done()
+
         def init(key):
-            return mtand_init(key, 2 * F, nhidden=32, embed_time=16,
-                              n_classes=cfg.n_classes)
+            return mtand_init(key, 2 * F, nhidden=nhidden,
+                              embed_time=embed_time, num_heads=num_heads,
+                              n_ref=n_ref, n_classes=cfg.n_classes)
 
         def apply(p, src, st, tm, ln, train, rng):
             x = src.transpose(1, 0, 2)                  # [B, T, 2F]
@@ -123,9 +157,18 @@ def make_baseline(name: str, cfg: RaindropConfig
     if name == "mtgnn":
         from raindrop_tpu.baselines.mtgnn import mtgnn_apply, mtgnn_init
 
+        mt_kw = {k: pop(k, d) for k, d in (
+            ("gcn_depth", 2), ("conv_channels", 16),
+            ("residual_channels", 16), ("skip_channels", 32),
+            ("end_channels", 64), ("layers", 5),
+            ("dilation_exponential", 2), ("subgraph_size", 20),
+            ("tanhalpha", 3.0), ("propalpha", 0.05))}
+        done()
+
         def init(key):
             return mtgnn_init(key, F, cfg.max_len, cfg.n_classes,
-                              d_static=cfg.d_static if cfg.static else 0)
+                              d_static=cfg.d_static if cfg.static else 0,
+                              **mt_kw)
 
         def apply(p, src, st, tm, ln, train, rng):
             vals = src[:, :, :F].transpose(1, 0, 2)     # [B, T, F]
@@ -138,9 +181,14 @@ def make_baseline(name: str, cfg: RaindropConfig
     if name == "dgm2":
         from raindrop_tpu.baselines.dgm2 import dgm2_apply, dgm2_init
 
+        dg_kw = {k: pop(k, d) for k, d in (
+            ("latent_dim", 10), ("cluster_num", 20), ("ode_units", 10))}
+        done()
+
         def init(key):
             return dgm2_init(key, F, cfg.max_len, cfg.n_classes,
-                             d_static=cfg.d_static if cfg.static else 0)
+                             d_static=cfg.d_static if cfg.static else 0,
+                             **dg_kw)
 
         def apply(p, src, st, tm, ln, train, rng):
             vals = src[:, :, :F].transpose(1, 0, 2)
@@ -158,8 +206,13 @@ def make_baseline(name: str, cfg: RaindropConfig
         from raindrop_tpu.baselines.ipnet import (
             ipnet_apply, ipnet_init, ipnet_reconstruction_loss)
 
+        ip_kw = {k: pop(k, d) for k, d in (
+            ("ref_points", 192), ("hid", 100),
+            ("hours_look_ahead", 48.0))}
+        done()
+
         def init(key):
-            return ipnet_init(key, F, n_classes=cfg.n_classes)
+            return ipnet_init(key, F, n_classes=cfg.n_classes, **ip_kw)
 
         def apply(p, src, st, tm, ln, train, rng):
             vals = src[:, :, :F].transpose(1, 0, 2).transpose(0, 2, 1)

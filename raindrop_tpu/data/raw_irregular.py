@@ -127,6 +127,60 @@ def parse_physionet_record(
                         np.stack(vals), np.stack(mask), label)
 
 
+PHYSIONET_URLS = [
+    # the acquisition manifest of the reference downloader
+    # (code/baselines/mTAND/physionet.py:46-50,104-133): raw record
+    # tarballs + outcome tables, extracted then parsed + cached as
+    # processed .pt files
+    "https://physionet.org/files/challenge-2012/1.0.0/set-a.tar.gz",
+    "https://physionet.org/files/challenge-2012/1.0.0/set-b.tar.gz",
+    "https://physionet.org/files/challenge-2012/1.0.0/Outcomes-a.txt",
+    "https://physionet.org/files/challenge-2012/1.0.0/Outcomes-b.txt",
+]
+
+
+def acquire_physionet(root: str, quantization: float = 0.1,
+                      download: bool = False):
+    """The reference mTAND stack's dataset-acquisition layer
+    (code/baselines/mTAND/physionet.py:104-233: URL fetch -> tarball
+    extract -> parse -> processed-file cache), zero-egress edition.
+
+    Looks for ALREADY-EXTRACTED set directories under ``root``
+    (``set-a/``, ``set-b/`` with ``Outcomes-*.txt`` beside them — the
+    layout the reference's extractor produces) and parses whatever is
+    present via :func:`load_physionet_dir`. ``download=True`` raises with
+    the exact URL manifest: this build runs with no network egress, so
+    acquisition is deliberately a documented manual step, not a fetch.
+
+    Returns {"set-a": [RaggedRecord...], "set-b": [...]} for the sets
+    found (missing sets are absent from the dict).
+    """
+    if download:
+        raise RuntimeError(
+            "network acquisition is disabled in this build (zero-egress); "
+            "manually download + extract into " + repr(root) + ": "
+            + ", ".join(PHYSIONET_URLS))
+    out = {}
+    for set_name, outcome_name in (("set-a", "Outcomes-a.txt"),
+                                   ("set-b", "Outcomes-b.txt")):
+        set_dir = os.path.join(root, set_name)
+        if not os.path.isdir(set_dir) or not os.listdir(set_dir):
+            continue
+        outcomes = None
+        opath = os.path.join(root, outcome_name)
+        if os.path.exists(opath):
+            with open(opath) as f:
+                outcomes = parse_physionet_outcomes(f)
+        out[set_name] = load_physionet_dir(
+            set_dir, outcomes, quantization=quantization)
+    if not out:
+        raise FileNotFoundError(
+            "no extracted PhysioNet set directories under " + repr(root)
+            + " (expected set-a/ / set-b/); acquire manually from: "
+            + ", ".join(PHYSIONET_URLS))
+    return out
+
+
 def load_physionet_dir(
     dirname: str,
     outcomes: Optional[Dict[str, np.ndarray]] = None,

@@ -115,7 +115,53 @@ def build_parser() -> argparse.ArgumentParser:
                         "code/results/standard_phy12.npy, producer "
                         "Transformer_baseline.py:470-471); prints a "
                         "side-by-side table and the deltas")
+
+    # ---- per-baseline hyperparameter groups: every knob the reference
+    # driver scripts expose, at their published defaults --------------------
+    g = p.add_argument_group(
+        "mTAND", "reference code/baselines/mTAND/mTAND_baseline.py:21-52")
+    g.add_argument("--mtand-rec-hidden", type=int, default=32)
+    g.add_argument("--mtand-embed-time", type=int, default=128)
+    g.add_argument("--mtand-num-heads", type=int, default=1)
+    g.add_argument("--mtand-num-ref-points", type=int, default=128)
+    g = p.add_argument_group(
+        "MTGNN", "reference code/baselines/MTGNN_baseline.py:281-289 "
+                 "model construction")
+    g.add_argument("--mtgnn-subgraph-size", type=int, default=20)
+    g.add_argument("--mtgnn-gcn-depth", type=int, default=2)
+    g.add_argument("--mtgnn-conv-channels", type=int, default=16)
+    g.add_argument("--mtgnn-residual-channels", type=int, default=16)
+    g.add_argument("--mtgnn-skip-channels", type=int, default=32)
+    g.add_argument("--mtgnn-end-channels", type=int, default=64)
+    g.add_argument("--mtgnn-layers", type=int, default=5)
+    g.add_argument("--mtgnn-dilation-exponential", type=int, default=2)
+    g.add_argument("--mtgnn-tanhalpha", type=float, default=3.0)
+    g.add_argument("--mtgnn-propalpha", type=float, default=0.05)
+    g = p.add_argument_group(
+        "DGM2-O", "reference code/baselines/DGM2_baseline.py:74-84,305-308")
+    g.add_argument("--dgm2-cluster-num", type=int, default=20)
+    g.add_argument("--dgm2-latent-dim", type=int, default=10)
+    g.add_argument("--dgm2-ode-units", type=int, default=10)
+    g = p.add_argument_group(
+        "IP-Net", "reference code/baselines/IP_Net_baseline.py model args")
+    g.add_argument("--ipnet-ref-points", type=int, default=192)
+    g.add_argument("--ipnet-hid", type=int, default=100)
+    g.add_argument("--ipnet-hours-look-ahead", type=float, default=48.0)
     return p
+
+
+_HP_PREFIXES = {"mtand": "mtand_", "mtgnn": "mtgnn_", "dgm2": "dgm2_",
+                "ipnet": "ipnet_"}
+
+
+def baseline_hp(args) -> dict:
+    """Collect the selected family's --<family>-* flags into the adapter's
+    hp dict (reference flag names, underscored)."""
+    pre = _HP_PREFIXES.get(args.model)
+    if not pre:
+        return {}
+    return {k[len(pre):]: v for k, v in vars(args).items()
+            if k.startswith(pre)}
 
 
 def make_model_fns(args, cfg):
@@ -123,7 +169,7 @@ def make_model_fns(args, cfg):
     if args.model == "raindrop":
         return None, None  # Trainer default
     from raindrop_tpu.baselines.adapters import make_baseline
-    return make_baseline(args.model, cfg)
+    return make_baseline(args.model, cfg, baseline_hp(args))
 
 
 def main(argv=None) -> int:

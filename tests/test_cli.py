@@ -110,3 +110,67 @@ def test_cli_compare_golden_split_mismatch(tmp_path, capsys):
     res = _run(tmp_path, "--compare-golden", gp, out="gm.json")
     assert "golden_delta" in res
     assert "[warn]" in capsys.readouterr().out
+
+
+# ---- per-baseline hyperparameter surfaces (reference driver flags) --------
+def test_baseline_hp_flags_reach_the_models():
+    """Every knob the reference drivers expose is reachable from the CLI:
+    parse the grouped --<family>-* flags, build the adapter hp dict, and
+    verify the values land in the constructed parameters (shapes change)."""
+    import jax
+    from raindrop_tpu.config import dataset_config
+    from raindrop_tpu.run import baseline_hp, build_parser
+    from raindrop_tpu.baselines.adapters import make_baseline
+
+    parser = build_parser()
+    cfg = dataset_config("P12", max_len=8)
+
+    args = parser.parse_args(
+        ["--model", "mtand", "--mtand-rec-hidden", "24",
+         "--mtand-embed-time", "48", "--mtand-num-ref-points", "16"])
+    hp = baseline_hp(args)
+    assert hp == {"rec_hidden": 24, "embed_time": 48, "num_heads": 1,
+                  "num_ref_points": 16}
+    init, _ = make_baseline("mtand", cfg, hp)
+    p = init(jax.random.PRNGKey(0))
+    assert p["att_q"]["w"].shape == (48, 48)           # embed_time
+    assert p["att_out"]["w"].shape[0] == 24            # rec_hidden
+
+    args = parser.parse_args(["--model", "mtgnn", "--mtgnn-layers", "2",
+                              "--mtgnn-conv-channels", "8",
+                              "--mtgnn-subgraph-size", "5"])
+    init, _ = make_baseline("mtgnn", cfg, baseline_hp(args))
+    p = init(jax.random.PRNGKey(0))
+    assert len(p["layers"]) == 2                       # layers
+    assert p["gc"]["emb1"].shape[1] > 0
+
+    args = parser.parse_args(["--model", "dgm2", "--dgm2-cluster-num", "7",
+                              "--dgm2-latent-dim", "4",
+                              "--dgm2-ode-units", "6"])
+    init, _ = make_baseline("dgm2", cfg, baseline_hp(args))
+    p = init(jax.random.PRNGKey(0))
+    assert p["ode_l1"]["w"].shape == (6, 4)            # ode_units x latent
+
+    args = parser.parse_args(["--model", "ipnet", "--ipnet-ref-points", "33",
+                              "--ipnet-hid", "11"])
+    init, _ = make_baseline("ipnet", cfg, baseline_hp(args))
+    p = init(jax.random.PRNGKey(0))
+    assert p["_meta"]["ref_points"] == 33
+    assert p["dense"]["w"].shape[1] == 11              # hid
+
+    # non-tunable families reject stray hp
+    with pytest.raises(ValueError, match="unknown hyperparameters"):
+        make_baseline("seft", cfg, {"rec_hidden": 1})
+
+
+@pytest.mark.parametrize("model,flags", [
+    ("mtand", ["--mtand-rec-hidden", "8", "--mtand-embed-time", "8",
+               "--mtand-num-ref-points", "8"]),
+    ("mtgnn", ["--mtgnn-layers", "2", "--mtgnn-conv-channels", "4",
+               "--mtgnn-skip-channels", "4", "--mtgnn-end-channels", "8"]),
+    ("dgm2", ["--dgm2-cluster-num", "4", "--dgm2-latent-dim", "3"]),
+    ("ipnet", ["--ipnet-ref-points", "8", "--ipnet-hid", "8"]),
+])
+def test_cli_trains_each_family_with_custom_hp(tmp_path, model, flags):
+    res = _run(tmp_path, "--model", model, *flags, out=f"{model}.json")
+    assert np.isfinite(res["missing_0.0"]["auroc"]["mean"])

@@ -193,3 +193,31 @@ class TestPersonActivityParser:
         assert (np.diff(out["time_steps"]) > 0).all()
         # every record's observations landed somewhere
         assert out["mask"].sum() == sum(r[3].sum() for r in recs)
+
+
+def test_acquire_physionet_zero_egress_contract(tmp_path):
+    """The acquisition layer (reference physionet.py:104-233) is a
+    documented manual step here: download=True names the URL manifest,
+    an empty root raises FileNotFoundError with the manifest, and an
+    extracted set-a/ layout parses through load_physionet_dir."""
+    from raindrop_tpu.data.raw_irregular import (
+        PHYSIONET_URLS, acquire_physionet)
+
+    with pytest.raises(RuntimeError, match="zero-egress"):
+        acquire_physionet(str(tmp_path), download=True)
+    with pytest.raises(FileNotFoundError, match="set-a"):
+        acquire_physionet(str(tmp_path))
+    assert all(u.startswith("https://physionet.org/") for u in PHYSIONET_URLS)
+
+    seta = tmp_path / "set-a"
+    seta.mkdir()
+    (seta / "132539.txt").write_text(
+        "Time,Parameter,Value\n00:00,RecordID,132539\n00:00,Age,54\n"
+        "00:07,HR,73\n01:30,HR,80\n")
+    (tmp_path / "Outcomes-a.txt").write_text(
+        "RecordID,SAPS-I,SOFA,Length_of_stay,Survival,In-hospital_death\n"
+        "132539,6,1,5,-1,0\n")
+    out = acquire_physionet(str(tmp_path))
+    assert set(out) == {"set-a"}
+    rec = out["set-a"][0]
+    assert rec.record_id == "132539" and rec.label == 0
