@@ -296,12 +296,41 @@ def bench_serve(dataset="P19", n_single=100, batch=128):
                                      for _ in range(stream_rounds))):
         pass
     stream16_dt = time.perf_counter() - t0
+    # saturated concurrency: many client threads hammering submit() with
+    # small requests; the micro-batching queue coalesces them into shared
+    # bucketed launches (launch count << request count)
+    import threading
+    n_threads, per_thread, req_n = 16, 12, 8
+    small_reqs = [mk(req_n) for _ in range(n_threads)]
+    srv.submit(*small_reqs[0])  # warm the batcher + small-bucket path
+    launches0 = srv.stats["batches"]
+    barrier = threading.Barrier(n_threads)
+
+    def hammer(i):
+        barrier.wait()
+        for _ in range(per_thread):
+            srv.submit(*small_reqs[i])
+
+    threads = [threading.Thread(target=hammer, args=(i,))
+               for i in range(n_threads)]
+    t0 = time.perf_counter()
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    conc_dt = time.perf_counter() - t0
+    n_requests = n_threads * per_thread
+    conc_launches = srv.stats["batches"] - launches0
     return {"serve_p50_ms": float(np.percentile(lats, 50)),
             "serve_p99_ms": float(np.percentile(lats, 99)),
             "serve_b128_samples_per_sec": rounds * batch / dt,
             "serve_stream_samples_per_sec": stream_rounds * batch / stream_dt,
             "serve_stream_bf16_samples_per_sec":
-                stream_rounds * batch / stream16_dt}
+                stream_rounds * batch / stream16_dt,
+            "serve_concurrent_samples_per_sec":
+                n_requests * req_n / conc_dt,
+            "serve_concurrent_coalesce_ratio":
+                n_requests / max(conc_launches, 1)}
 
 
 def bench_torch_reference(dataset="P19", batch_size=128, iters=3):
@@ -464,7 +493,9 @@ if __name__ == "__main__":
                       keys=("serve_p50_ms", "serve_p99_ms",
                             "serve_b128_samples_per_sec",
                             "serve_stream_samples_per_sec",
-                            "serve_stream_bf16_samples_per_sec"))
+                            "serve_stream_bf16_samples_per_sec",
+                            "serve_concurrent_samples_per_sec",
+                            "serve_concurrent_coalesce_ratio"))
     rnd = lambda v, n=2: None if v is None else round(v, n)  # noqa: E731
     print(json.dumps({
         "metric": "raindrop_p19_train_samples_per_sec",
@@ -498,5 +529,9 @@ if __name__ == "__main__":
             serve["serve_stream_samples_per_sec"]),
         "serve_stream_bf16_samples_per_sec": rnd(
             serve["serve_stream_bf16_samples_per_sec"]),
+        "serve_concurrent_samples_per_sec": rnd(
+            serve["serve_concurrent_samples_per_sec"]),
+        "serve_concurrent_coalesce_ratio": rnd(
+            serve["serve_concurrent_coalesce_ratio"], 1),
         "backend": r["backend"],
     }))

@@ -31,6 +31,7 @@ framework dependencies.
 from __future__ import annotations
 
 import json
+import queue
 import threading
 import time
 from typing import Dict, List, Optional, Sequence
@@ -62,6 +63,7 @@ class InferenceServer:
         apply_fn=None,
         precompile: bool = True,
         transfer_dtype: str = "float32",
+        coalesce_window_s: float = 0.002,
     ):
         """transfer_dtype: the WIRE format of request tensors. 'bfloat16'
         halves host->device bytes — on remote/tunneled devices the
@@ -71,6 +73,12 @@ class InferenceServer:
         masks and hour timestamps, all of which survive bf16; compute
         still runs the model's own dtype — the cast back to cfg.dtype
         happens on device before the forward). Default stays exact f32.
+
+        coalesce_window_s: how long the micro-batching thread (submit())
+        waits for more concurrent requests before launching, once the
+        first request of a group arrives. The window only delays requests
+        that would otherwise launch under-full buckets — a full top bucket
+        launches immediately.
         """
         self.cfg = cfg
         self.params = jax.device_put(params)
@@ -81,7 +89,12 @@ class InferenceServer:
             raindrop_apply(p, cfg, src, static, times, lengths)[0])
         self._lock = threading.Lock()
         self.stats = {"requests": 0, "samples": 0, "batches": 0,
+                      "coalesced_launches": 0, "coalesced_requests": 0,
                       "latency_ms_sum": 0.0}
+        self._coalesce_s = coalesce_window_s
+        self._submit_q: "queue.Queue" = queue.Queue()
+        self._batcher_thread: Optional[threading.Thread] = None
+        self._closed = False
 
         model_dtype = jnp.dtype(cfg.dtype)
 
@@ -145,6 +158,117 @@ class InferenceServer:
             self.stats["samples"] += n
             self.stats["latency_ms_sum"] += 1e3 * (time.perf_counter() - t0)
         return probs
+
+    # -- micro-batching (thread-safe submit + coalescing batcher) ----------
+    def submit(self, P: np.ndarray, times: np.ndarray,
+               static: Optional[np.ndarray] = None,
+               timeout: Optional[float] = None) -> np.ndarray:
+        """Thread-safe micro-batching entry point: CONCURRENT submit()
+        calls are coalesced by a background batcher thread into shared
+        bucketed device launches (one launch serves many requests), and
+        each caller blocks until its own slice of the results is ready.
+        Results are identical to predict() — same compiled runners, same
+        padding; only the grouping differs. Coalescing effectiveness is
+        observable in stats: coalesced_launches counts device launches,
+        coalesced_requests the requests they served.
+        """
+        from concurrent.futures import Future
+
+        if self._closed:
+            raise RuntimeError("server closed")
+        self._ensure_batcher()
+        fut: "Future" = Future()
+        t0 = time.perf_counter()
+        self._submit_q.put((np.asarray(P), np.asarray(times),
+                            None if static is None else np.asarray(static),
+                            fut))
+        out = fut.result(timeout)
+        with self._lock:
+            self.stats["requests"] += 1
+            self.stats["samples"] += P.shape[0]
+            self.stats["latency_ms_sum"] += 1e3 * (time.perf_counter() - t0)
+        return out
+
+    def _ensure_batcher(self):
+        if self._batcher_thread is None or not self._batcher_thread.is_alive():
+            with self._lock:
+                if (self._batcher_thread is None
+                        or not self._batcher_thread.is_alive()):
+                    self._batcher_thread = threading.Thread(
+                        target=self._batcher_loop, daemon=True)
+                    self._batcher_thread.start()
+
+    def _batcher_loop(self):
+        top = self.buckets[-1]
+        while not self._closed:
+            try:
+                first = self._submit_q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            if first is None:
+                return
+            group = [first]
+            n_total = first[0].shape[0]
+            # wait up to the coalesce window for more requests, or until a
+            # full top bucket is pending — whichever comes first
+            deadline = time.perf_counter() + self._coalesce_s
+            while n_total < top:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    item = self._submit_q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if item is None:
+                    self._closed = True
+                    break
+                group.append(item)
+                n_total += item[0].shape[0]
+            self._run_group(group)
+
+    def _run_group(self, group):
+        """One coalesced launch set: concatenate the group's tensors, run
+        bucketed chunks, slice results back to each caller's future."""
+        try:
+            P = np.concatenate([g[0] for g in group])
+            times = np.concatenate([g[1] for g in group])
+            static = (np.concatenate([g[2] for g in group])
+                      if group[0][2] is not None else None)
+            top = self.buckets[-1]
+            n = P.shape[0]
+            outs = []
+            n_launches = 0
+            for start in range(0, n, top):
+                chunk = slice(start, min(start + top, n))
+                probs = self._launch_chunk(
+                    P[chunk], times[chunk],
+                    None if static is None else static[chunk])
+                outs.append(np.asarray(jax.device_get(probs))
+                            [:chunk.stop - chunk.start])
+                n_launches += 1
+            all_probs = np.concatenate(outs)
+            with self._lock:
+                self.stats["batches"] += n_launches
+                self.stats["coalesced_launches"] += n_launches
+                self.stats["coalesced_requests"] += len(group)
+            off = 0
+            for g in group:
+                k = g[0].shape[0]
+                g[3].set_result(all_probs[off:off + k])
+                off += k
+        except BaseException as e:  # noqa: BLE001 — deliver to callers
+            for g in group:
+                if not g[3].done():
+                    g[3].set_exception(e)
+
+    def close(self):
+        """Stop the batcher thread (pending requests still complete)."""
+        self._closed = True
+        self._submit_q.put(None)
+        t = self._batcher_thread
+        if t is not None and t.is_alive():
+            t.join(timeout=5.0)
 
     def predict_stream(self, requests, *, depth: int = 4):
         """Pipelined batch inference: yields probs [n_i, C] for each
@@ -276,7 +400,9 @@ def make_http_server(server: InferenceServer, host: str = "127.0.0.1",
                 times = np.asarray(req["times"], np.float32)
                 static = (np.asarray(req["static"], np.float32)
                           if req.get("static") is not None else None)
-                probs = server.predict(P, times, static)
+                # submit(): concurrent HTTP clients (ThreadingHTTPServer
+                # = thread per connection) coalesce into shared launches
+                probs = server.submit(P, times, static)
                 self._send(200, {"probs": probs.tolist()})
             except Exception as e:  # surface errors to the client
                 self._send(400, {"error": str(e)})

@@ -166,3 +166,109 @@ def test_bf16_transfer_dtype_close_to_f32():
     np.testing.assert_allclose(a, b, atol=2e-2)
     assert not np.array_equal(a, b)  # really quantized on the wire
     assert b16._abstract_batch(4)[0].dtype == jnp.bfloat16
+
+
+# ---- micro-batch coalescing under real concurrency ------------------------
+def test_submit_coalesces_concurrent_requests(small):
+    """N threads hammering submit() simultaneously: every result matches
+    the sequential predict() of the same request, AND the launch count is
+    strictly below the request count — coalescing actually batched."""
+    cfg, params, _ = small
+    srv = InferenceServer(cfg, params, buckets=(2, 4, 8),
+                          coalesce_window_s=0.25)
+    n_clients = 12
+    reqs = [_request(cfg, 1, seed=100 + i) for i in range(n_clients)]
+    expected = [srv.predict(*r) for r in reqs]
+    launches_before = srv.stats["batches"]
+
+    results = [None] * n_clients
+    errors = []
+    barrier = threading.Barrier(n_clients)
+
+    def client(i):
+        try:
+            barrier.wait(timeout=30)
+            results[i] = srv.submit(*reqs[i], timeout=60)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(n_clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    for got, want in zip(results, expected):
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    submit_launches = srv.stats["batches"] - launches_before
+    assert submit_launches < n_clients, (
+        f"no coalescing: {submit_launches} launches for {n_clients} requests")
+    assert srv.stats["coalesced_requests"] == n_clients
+    assert srv.stats["coalesced_launches"] == submit_launches
+    srv.close()
+
+
+def test_submit_sequential_and_oversize(small):
+    cfg, params, _ = small
+    srv = InferenceServer(cfg, params, buckets=(2, 4),
+                          coalesce_window_s=0.001)
+    # sequential submits behave like predict, including > top-bucket
+    # requests (chunked into multiple launches)
+    for n in (1, 3, 4, 9):
+        P, t, s = _request(cfg, n, seed=n)
+        np.testing.assert_allclose(srv.submit(P, t, s),
+                                   srv.predict(P, t, s),
+                                   rtol=1e-6, atol=1e-6)
+    srv.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        srv.submit(*_request(cfg, 1))
+
+
+def test_http_concurrent_clients_coalesce(small):
+    """The HTTP tier routes through submit(): concurrent POSTs from many
+    client threads all succeed, match the sequential answers, and share
+    device launches."""
+    cfg, params, _ = small
+    srv = InferenceServer(cfg, params, buckets=(2, 4, 8),
+                          coalesce_window_s=0.25)
+    httpd = make_http_server(srv, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        n_clients = 8
+        reqs = [_request(cfg, 1, seed=200 + i) for i in range(n_clients)]
+        expected = [srv.predict(*r) for r in reqs]
+        launches_before = srv.stats["batches"]
+        results = [None] * n_clients
+        errors = []
+        barrier = threading.Barrier(n_clients)
+
+        def client(i):
+            try:
+                P, times, static = reqs[i]
+                body = json.dumps({"P": P.tolist(), "times": times.tolist(),
+                                   "static": static.tolist()}).encode()
+                barrier.wait(timeout=30)
+                r = urllib.request.urlopen(urllib.request.Request(
+                    f"http://127.0.0.1:{port}/predict", data=body,
+                    headers={"Content-Type": "application/json"}), timeout=60)
+                results[i] = np.asarray(json.load(r)["probs"])
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(n_clients)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=120)
+        assert not errors, errors
+        for got, want in zip(results, expected):
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+        assert srv.stats["batches"] - launches_before < n_clients
+    finally:
+        httpd.shutdown()
+        srv.close()
