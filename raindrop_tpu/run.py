@@ -100,11 +100,27 @@ def build_parser() -> argparse.ArgumentParser:
                    help="graph-propagation backend (config.py): 'pallas' "
                         "dispatches the fused one-hot-MXU SpMM kernel "
                         "for general shared-topology graphs")
+    p.add_argument("--missing-ratio", type=float, default=None,
+                   help="run ONE specific sensor-removal ratio instead of "
+                        "--withmissingratio's full 0.1-0.5 sweep")
+    p.add_argument("--ig-scores", default=None, metavar="NPY",
+                   help="precomputed Setting-2 sensor ranking file "
+                        "([F, 2] rows of (index, name) ranked most-"
+                        "informative first — the reference's shipped "
+                        "saved/IG_density_scores_<dataset>.npy, consumed "
+                        "at code/Raindrop.py:228-229); default computes "
+                        "the RF ranking from the training split")
     p.add_argument("--dropout", type=float, default=None,
                    help="override the model dropout (the reference "
                         "hard-codes per-dataset values; 0 makes training "
                         "deterministic — used by the golden-reproduction "
                         "harness)")
+    p.add_argument("--track-jsonl", default=None, metavar="PATH",
+                   help="run-tracking sink (utils/tracking.JSONLTracker): "
+                        "append start/epoch/finish lifecycle events as "
+                        "JSON lines — the reference's disabled W&B slot "
+                        "(code/Raindrop.py:288-340) as a dependency-free "
+                        "callback interface")
     p.add_argument("--log-path", default=None)
     p.add_argument("--out-json", default=None,
                    help="write the summary dict as JSON here")
@@ -203,6 +219,8 @@ def main(argv=None) -> int:
                          prop_backend=args.prop_backend, **cfg_kw)
     missing_ratios = ([0.1, 0.2, 0.3, 0.4, 0.5] if args.withmissingratio
                       else [0.0])
+    if args.missing_ratio is not None:
+        missing_ratios = [args.missing_ratio]
 
     mesh = None
     if args.data_parallel:
@@ -260,18 +278,34 @@ def main(argv=None) -> int:
                     sp.Pval = remove_sensors_random(sp.Pval, _mr, rng)
                     sp.Ptest = remove_sensors_random(sp.Ptest, _mr, rng)
                 elif args.feature_removal_level == "set":
-                    from raindrop_tpu.data.settings import information_gain_ranking
                     F = sp.Ptrain.shape[2] // 2
-                    ranking = information_gain_ranking(
-                        sp.Ptrain[:, :, :F], sp.ytrain, seed=args.seed)
+                    if args.ig_scores:
+                        # the reference's precomputed ranking artifact
+                        # (code/Raindrop.py:228-229: np.load + column 0)
+                        arr = np.load(args.ig_scores, allow_pickle=True)
+                        ranking = arr[:, 0].astype(int)
+                        if sorted(ranking.tolist()) != list(range(F)):
+                            raise SystemExit(
+                                f"--ig-scores {args.ig_scores}: column 0 is "
+                                f"not a permutation of range({F})")
+                    else:
+                        from raindrop_tpu.data.settings import (
+                            information_gain_ranking)
+                        ranking = information_gain_ranking(
+                            sp.Ptrain[:, :, :F], sp.ytrain, seed=args.seed)
                     sp.Pval = remove_sensors_fixed(sp.Pval, ranking, _mr)
                     sp.Ptest = remove_sensors_fixed(sp.Ptest, ranking, _mr)
             return sp
 
         init_fn, apply_fn = make_model_fns(args, cfg)
+        tracker = None
+        if args.track_jsonl:
+            from raindrop_tpu.utils.tracking import JSONLTracker
+            tracker = JSONLTracker(args.track_jsonl)
         if init_fn is None:
             results = run_splits(make_split, cfg, tcfg, mesh=mesh,
-                                 resume_from=args.resume_from)
+                                 resume_from=args.resume_from,
+                                 tracker=tracker)
         else:
             trainer = Trainer(cfg, tcfg, mesh=mesh,
                               apply_fn=apply_fn, init_fn=init_fn)
@@ -288,7 +322,8 @@ def main(argv=None) -> int:
                     runs.append(trainer.train_split(
                         sp, seed=tcfg.seed + m,
                         resume_from=(args.resume_from
-                                     if k == 1 and m == 0 else None)))
+                                     if k == 1 and m == 0 else None),
+                        tracker=tracker))
                 per_split.append(
                     max(runs, key=lambda r: r.test_metrics["auprc"])
                     .test_metrics)

@@ -248,7 +248,7 @@ class Trainer:
                     log_file=None, checkpoint_path: Optional[str] = None,
                     resume_from: Optional[str] = None,
                     verbose: bool = True,
-                    on_epoch_end=None) -> TrainResult:
+                    on_epoch_end=None, tracker=None) -> TrainResult:
         """Run the full per-split protocol.
 
         checkpoint_path: best-val-AUROC params go to <path>.npz (like the
@@ -261,7 +261,14 @@ class Trainer:
         on_epoch_end: optional callable(epoch, record_dict) invoked after
         the epoch's checkpoint is durable — the hook point for heartbeats
         and fault injection (parallel/elastic.py).
+
+        tracker: optional RunTracker (utils/tracking.py) — the W&B-style
+        sink: log_epoch(record) fires for every epoch record; sink
+        exceptions are swallowed (telemetry must not kill the run).
         """
+        from raindrop_tpu.utils.tracking import _SafeTracker
+        if not isinstance(tracker, _SafeTracker):
+            tracker = _SafeTracker(tracker)
         cfg, tcfg = self.cfg, self.tcfg
         if self._multihost:
             # diagnostics print once per pod, not once per process
@@ -435,6 +442,7 @@ class Trainer:
                    "val_auroc": val["auroc"], "val_auprc": val["auprc"],
                    "lr": new_lr, "elapsed_s": time.time() - t0}
             history.append(rec)
+            tracker.log_epoch(rec)
             if log_file:
                 log_file.write(json.dumps(rec) + "\n")
                 log_file.flush()
@@ -515,7 +523,8 @@ class Trainer:
 
 def run_splits(make_split, cfg: RaindropConfig, tcfg: TrainConfig, *,
                mesh=None, verbose: bool = True,
-               resume_from: Optional[str] = None) -> Dict[str, Any]:
+               resume_from: Optional[str] = None,
+               tracker=None) -> Dict[str, Any]:
     """The 5-split x n_runs protocol with the reference's aggregation:
     best run per split by AUPRC, then mean±std over splits
     (reference code/Raindrop.py:417-446).
@@ -526,6 +535,11 @@ def run_splits(make_split, cfg: RaindropConfig, tcfg: TrainConfig, *,
     make_split(split_idx, run=m) for every run, and must re-randomize the
     partition per run.
     """
+    from raindrop_tpu.utils.tracking import _SafeTracker
+    tracker = _SafeTracker(tracker)
+    tracker.start({"dataset": tcfg.dataset,
+                   "model_config": dict(vars(cfg)),
+                   "train_config": dict(vars(tcfg))})
     trainer = Trainer(cfg, tcfg, mesh=mesh)
     log_file = open(tcfg.log_path, "a") if tcfg.log_path else None
     per_split: List[Dict[str, float]] = []
@@ -543,7 +557,8 @@ def run_splits(make_split, cfg: RaindropConfig, tcfg: TrainConfig, *,
                 res = trainer.train_split(
                     split_m, seed=tcfg.seed + m, log_file=log_file,
                     checkpoint_path=ckpt, verbose=verbose,
-                    resume_from=(resume_from if k == 1 and m == 0 else None))
+                    resume_from=(resume_from if k == 1 and m == 0 else None),
+                    tracker=tracker)
                 runs.append(res)
             best_run = max(runs, key=lambda r: r.test_metrics["auprc"])
             per_split.append(best_run.test_metrics)
@@ -559,4 +574,5 @@ def run_splits(make_split, cfg: RaindropConfig, tcfg: TrainConfig, *,
     if verbose:
         for name, s in summary.items():
             print(f"{name:>9} = {s['mean']:.1f} +/- {s['std']:.1f}")
+    tracker.finish(summary)
     return {"summary": summary, "per_split": per_split}

@@ -221,3 +221,60 @@ def test_compiled_flops_accepts_pytree_args_and_never_raises():
     assert flops is None or flops >= 2 * 8 * 16 * 8
     # bad input: wrong arity — must return None, not raise
     assert compiled_flops(g, tree) is None
+
+
+# ------------------------------------------------------- run tracking (§5.5)
+def test_run_tracker_lifecycle(tmp_path):
+    """The W&B-slot callback interface: run_splits drives start -> N x
+    log_epoch -> finish on a user sink; a JSONL sink records them; a
+    raising sink is disabled without killing the run."""
+    from raindrop_tpu.config import TrainConfig
+    from raindrop_tpu.data.datasets import synthetic_split
+    from raindrop_tpu.train.trainer import run_splits
+    from raindrop_tpu.utils.tracking import JSONLTracker, RunTracker
+
+    cfg = dataset_config("P19", max_len=8)
+    tcfg = TrainConfig(dataset="P19", num_epochs=2, batch_size=8,
+                       n_splits=1, seed=0,
+                       checkpoint_dir=str(tmp_path / "ckpt"))
+
+    class Recorder(RunTracker):
+        def __init__(self):
+            self.events = []
+
+        def start(self, config):
+            self.events.append(("start", config))
+
+        def log_epoch(self, record):
+            self.events.append(("epoch", record))
+
+        def finish(self, summary):
+            self.events.append(("finish", summary))
+
+    rec = Recorder()
+    run_splits(lambda k: synthetic_split("P19", n=48, seed=k, T=8),
+               cfg, tcfg, verbose=False, tracker=rec)
+    kinds = [e[0] for e in rec.events]
+    assert kinds == ["start", "epoch", "epoch", "finish"]
+    assert rec.events[0][1]["dataset"] == "P19"
+    assert {"epoch", "train_loss", "val_auroc", "val_auprc",
+            "lr"} <= set(rec.events[1][1])
+    assert "auroc" in rec.events[-1][1]
+
+    # JSONL sink round-trips the same lifecycle
+    path = tmp_path / "track.jsonl"
+    run_splits(lambda k: synthetic_split("P19", n=48, seed=k, T=8),
+               cfg, tcfg, verbose=False, tracker=JSONLTracker(str(path)))
+    import json as _json
+    lines = [_json.loads(ln) for ln in path.read_text().splitlines()]
+    assert [ln["event"] for ln in lines] == ["start", "epoch", "epoch",
+                                             "finish"]
+
+    class Exploder(RunTracker):
+        def log_epoch(self, record):
+            raise RuntimeError("sink down")
+
+    # a failing sink must not kill training
+    out = run_splits(lambda k: synthetic_split("P19", n=48, seed=k, T=8),
+                     cfg, tcfg, verbose=False, tracker=Exploder())
+    assert np.isfinite(out["summary"]["auroc"]["mean"])
