@@ -248,7 +248,7 @@ def raindrop_propagate_beta_dense(
     dropout_rate: float = 0.0,
     rng=None,
     train: bool = False,
-    uniform_adj: bool = True,
+    uniform_adj: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched dense formulation of the FULL use_beta two-layer propagation
     block (layer 1 with β-attention + top-50% pruning, then layer 2 over the
@@ -276,8 +276,10 @@ def raindrop_propagate_beta_dense(
         scores descending (the layer-2 pre-softmax α handoff the model
         returns for the distance regularizer).
 
-    uniform_adj=True (the shipped complete all-ones graph,
-    code/Raindrop.py:212) additionally FACTORS the layer-1 softmax: with
+    uniform_adj=True — an explicit CALLER PROMISE that adj is all-ones
+    (the shipped complete graph, code/Raindrop.py:212; the promise cannot
+    be checked on a traced array, hence the safe False default) —
+    additionally FACTORS the layer-1 softmax: with
     w[s, t] == 1 the γ-grid value γ[b, s, t, d] = γ_node[b, t, d] is
     s-independent, so the per-source masked softmax-matvec collapses to one
     shared exp over [B, t, D] (global-max stabilized; the max cancels in

@@ -118,6 +118,19 @@ def raindrop_param_mask(cfg: RaindropConfig):
     return mask
 
 
+def _edge_list(F_: int, global_adj, dtype):
+    """Complete-graph edge list + per-edge weights (from global_adj when
+    given, else the all-ones default) — shared by the COO and Pallas
+    propagation backends so their inputs are identical by construction."""
+    edge_index, edge_weights = complete_graph_edges(F_)
+    ei = jnp.asarray(edge_index)
+    if global_adj is not None:
+        w = global_adj[ei[0], ei[1]].astype(dtype)
+    else:
+        w = jnp.asarray(edge_weights, dtype)
+    return ei, w
+
+
 def _to_node_features(h: jnp.ndarray, F: int, d_ob: int) -> jnp.ndarray:
     """[B, T, F*d_ob] -> [B, F, T*d_ob] (code/models_rd.py:326-327)."""
     B, T, _ = h.shape
@@ -190,12 +203,7 @@ def raindrop_apply(
         # (docs/PERFORMANCE.md) and falls through to the dense-β/COO paths.
         from raindrop_tpu.ops.sparse_pallas import spmm_segment_softmax
 
-        edge_index, edge_weights = complete_graph_edges(F_)
-        ei = jnp.asarray(edge_index)
-        if global_adj is not None:
-            edge_weights = global_adj[ei[0], ei[1]].astype(dtype)
-        else:
-            edge_weights = jnp.asarray(edge_weights, dtype)
+        ei, edge_weights = _edge_list(F_, global_adj, dtype)
         gamma = jnp.broadcast_to(
             edge_weights[None].astype(jnp.float32), (B, ei.shape[1]))
         v1 = jax.nn.relu(linear_apply(params["ob_propagation"]["lin_value"],
@@ -234,12 +242,7 @@ def raindrop_apply(
             rng=jax.random.fold_in(r_prop1, 1), train=train,
             uniform_adj=True)
     else:
-        edge_index, edge_weights = complete_graph_edges(F_)
-        if global_adj is not None:
-            ei = jnp.asarray(edge_index)
-            edge_weights = global_adj[ei[0], ei[1]].astype(dtype)
-        edge_index = jnp.asarray(edge_index)
-        edge_weights = jnp.asarray(edge_weights, dtype)
+        edge_index, edge_weights = _edge_list(F_, global_adj, dtype)
 
         def one_sample(x, p_t, r1, r2):
             o1, (ei2, a1) = ob_propagate_coo(

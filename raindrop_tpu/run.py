@@ -307,6 +307,13 @@ def main(argv=None) -> int:
                                  resume_from=args.resume_from,
                                  tracker=tracker)
         else:
+            # same tracker lifecycle as run_splits (start -> epochs ->
+            # finish) so baseline runs delimit identically in the sink
+            from raindrop_tpu.utils.tracking import _SafeTracker
+            tracker = _SafeTracker(tracker)
+            tracker.start({"dataset": tcfg.dataset, "model": args.model,
+                           "model_config": dict(vars(cfg)),
+                           "train_config": dict(vars(tcfg))})
             trainer = Trainer(cfg, tcfg, mesh=mesh,
                               apply_fn=apply_fn, init_fn=init_fn)
             per_split = []
@@ -333,6 +340,7 @@ def main(argv=None) -> int:
                        "per_split": [m[name] * 100 for m in per_split]}
                 for name in per_split[0]}
             results = {"summary": summary, "per_split": per_split}
+            tracker.finish(summary)
         all_results[f"missing_{mr}"] = results["summary"]
         for name, s in results["summary"].items():
             print(f"[mr={mr}] {name:>9} = {s['mean']:.1f} +/- {s['std']:.1f}")

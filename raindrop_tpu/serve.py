@@ -145,17 +145,11 @@ class InferenceServer:
         """
         t0 = time.perf_counter()
         n = P.shape[0]
-        top = self.buckets[-1]
-        outs: List[np.ndarray] = []
-        for start in range(0, n, top):
-            chunk = slice(start, min(start + top, n))
-            outs.append(self._predict_chunk(
-                P[chunk], times[chunk],
-                None if static is None else static[chunk]))
-        probs = np.concatenate(outs, axis=0)
+        probs, n_launches = self._run_batches(P, times, static)
         with self._lock:
             self.stats["requests"] += 1
             self.stats["samples"] += n
+            self.stats["batches"] += n_launches
             self.stats["latency_ms_sum"] += 1e3 * (time.perf_counter() - t0)
         return probs
 
@@ -198,19 +192,34 @@ class InferenceServer:
                         target=self._batcher_loop, daemon=True)
                     self._batcher_thread.start()
 
+    @staticmethod
+    def _compat_key(item):
+        """Only shape-compatible requests may share a concatenated launch;
+        a malformed request must fail alone, not 400 its whole group."""
+        P, times, static, _ = item
+        return (P.shape[1:], times.shape[1:],
+                None if static is None else static.shape[1:])
+
     def _batcher_loop(self):
         top = self.buckets[-1]
-        while not self._closed:
-            try:
-                first = self._submit_q.get(timeout=0.1)
-            except queue.Empty:
-                continue
+        leftover = None
+        while True:
+            if leftover is not None:
+                first, leftover = leftover, None
+            else:
+                try:
+                    first = self._submit_q.get(timeout=0.1)
+                except queue.Empty:
+                    if self._closed:
+                        return
+                    continue
             if first is None:
                 return
             group = [first]
+            key = self._compat_key(first)
             n_total = first[0].shape[0]
-            # wait up to the coalesce window for more requests, or until a
-            # full top bucket is pending — whichever comes first
+            # wait up to the coalesce window for more COMPATIBLE requests,
+            # or until a full top bucket is pending — whichever comes first
             deadline = time.perf_counter() + self._coalesce_s
             while n_total < top:
                 remaining = deadline - time.perf_counter()
@@ -223,31 +232,42 @@ class InferenceServer:
                 if item is None:
                     self._closed = True
                     break
+                if self._compat_key(item) != key:
+                    leftover = item        # starts the next group
+                    break
                 group.append(item)
                 n_total += item[0].shape[0]
             self._run_group(group)
 
+    def _run_batches(self, P, times, static):
+        """Shared bucketed launch loop: chunk to the top bucket, launch,
+        fetch, unpad. Returns (probs [n, C], n_launches). The single code
+        path behind predict() and the coalescing batcher, so the two can
+        never silently diverge."""
+        top = self.buckets[-1]
+        n = P.shape[0]
+        outs = []
+        n_launches = 0
+        for start in range(0, n, top):
+            chunk = slice(start, min(start + top, n))
+            probs = self._launch_chunk(
+                P[chunk], times[chunk],
+                None if static is None else static[chunk])
+            outs.append(np.asarray(jax.device_get(probs))
+                        [:chunk.stop - chunk.start])
+            n_launches += 1
+        return np.concatenate(outs), n_launches
+
     def _run_group(self, group):
-        """One coalesced launch set: concatenate the group's tensors, run
-        bucketed chunks, slice results back to each caller's future."""
+        """One coalesced launch set: concatenate the group's (shape-
+        compatible) tensors, run bucketed chunks, slice results back to
+        each caller's future."""
         try:
             P = np.concatenate([g[0] for g in group])
             times = np.concatenate([g[1] for g in group])
             static = (np.concatenate([g[2] for g in group])
                       if group[0][2] is not None else None)
-            top = self.buckets[-1]
-            n = P.shape[0]
-            outs = []
-            n_launches = 0
-            for start in range(0, n, top):
-                chunk = slice(start, min(start + top, n))
-                probs = self._launch_chunk(
-                    P[chunk], times[chunk],
-                    None if static is None else static[chunk])
-                outs.append(np.asarray(jax.device_get(probs))
-                            [:chunk.stop - chunk.start])
-                n_launches += 1
-            all_probs = np.concatenate(outs)
+            all_probs, n_launches = self._run_batches(P, times, static)
             with self._lock:
                 self.stats["batches"] += n_launches
                 self.stats["coalesced_launches"] += n_launches
@@ -263,12 +283,23 @@ class InferenceServer:
                     g[3].set_exception(e)
 
     def close(self):
-        """Stop the batcher thread (pending requests still complete)."""
+        """Stop the batcher thread. In-flight and already-queued requests
+        are completed (the batcher drains before exiting); anything that
+        races into the queue after the drain fails with 'server closed'
+        rather than hanging its caller forever."""
         self._closed = True
         self._submit_q.put(None)
         t = self._batcher_thread
         if t is not None and t.is_alive():
-            t.join(timeout=5.0)
+            t.join(timeout=10.0)
+        # fail anything stranded behind the sentinel (post-drain racers)
+        while True:
+            try:
+                item = self._submit_q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None and not item[3].done():
+                item[3].set_exception(RuntimeError("server closed"))
 
     def predict_stream(self, requests, *, depth: int = 4):
         """Pipelined batch inference: yields probs [n_i, C] for each
@@ -346,13 +377,6 @@ class InferenceServer:
                       jnp.asarray(np.asarray(times, dt)),
                       None if static is None else
                       jnp.asarray(np.asarray(static, dt)))
-
-    def _predict_chunk(self, P, times, static) -> np.ndarray:
-        n = P.shape[0]
-        probs = self._launch_chunk(P, times, static)
-        with self._lock:
-            self.stats["batches"] += 1
-        return np.asarray(jax.device_get(probs))[:n]
 
     # -- introspection -------------------------------------------------------
     def health(self) -> Dict[str, object]:

@@ -270,9 +270,12 @@ class Trainer:
         if not isinstance(tracker, _SafeTracker):
             tracker = _SafeTracker(tracker)
         cfg, tcfg = self.cfg, self.tcfg
-        if self._multihost:
-            # diagnostics print once per pod, not once per process
-            verbose = verbose and jax.process_index() == 0
+        # Multi-host: diagnostics PRINT once per pod, but `verbose` itself
+        # must stay identical on every process — verbose-guarded blocks
+        # contain collectives (the confusion-matrix process_allgather
+        # below), and a per-process verbose would make only process 0
+        # enter them, deadlocking the pod. `show` gates prints only.
+        show = verbose and (not self._multihost or jax.process_index() == 0)
         if self._multihost and not checkpoint_path:
             # best-val params can only be tracked via per-host shard files
             # on multi-host runs (device_get of sharded params is not
@@ -417,8 +420,10 @@ class Trainer:
                         multihost_utils.process_allgather(logits, tiled=True))
                 else:
                     lg = np.asarray(jax.device_get(logits))
-                print(confusion_matrix_np(split.ytrain[last_idx],
-                                          np.argmax(lg, 1), labels=[0, 1]))
+                if show:
+                    print(confusion_matrix_np(split.ytrain[last_idx],
+                                              np.argmax(lg, 1),
+                                              labels=[0, 1]))
 
             # frozen-parameter diff after the first epoch (the reference
             # GRU-D driver's 'Not updated in <name>' diagnostic,
@@ -446,7 +451,7 @@ class Trainer:
             if log_file:
                 log_file.write(json.dumps(rec) + "\n")
                 log_file.flush()
-            if verbose:
+            if show:
                 print(f"epoch {epoch}: loss={rec['train_loss']:.4f} "
                       f"val_auroc={val['auroc']*100:.2f} "
                       f"val_auprc={val['auprc']*100:.2f} lr={new_lr:.2e}")
@@ -511,7 +516,7 @@ class Trainer:
         confusion = confusion_matrix_np(split.ytest, ypred,
                                         labels=range(cfg.n_classes))
         report = classification_report_str(split.ytest, ypred)
-        if verbose:
+        if show:
             print("classification report\n" + report)
             print(confusion)
         return TrainResult(

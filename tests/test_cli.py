@@ -174,3 +174,17 @@ def test_baseline_hp_flags_reach_the_models():
 def test_cli_trains_each_family_with_custom_hp(tmp_path, model, flags):
     res = _run(tmp_path, "--model", model, *flags, out=f"{model}.json")
     assert np.isfinite(res["missing_0.0"]["auroc"]["mean"])
+
+
+def test_cli_track_jsonl_lifecycle_for_baselines(tmp_path):
+    """--track-jsonl delimits baseline runs exactly like raindrop runs:
+    start -> epoch* -> finish (the baseline branch drives the tracker
+    lifecycle itself)."""
+    track = tmp_path / "track.jsonl"
+    _run(tmp_path, "--model", "grud", "--track-jsonl", str(track),
+         out="t.json")
+    events = [json.loads(ln)["event"] for ln in track.read_text().splitlines()]
+    assert events[0] == "start" and events[-1] == "finish"
+    assert events.count("epoch") >= 1
+    first = json.loads(track.read_text().splitlines()[0])
+    assert first["config"]["model"] == "grud"

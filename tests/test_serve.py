@@ -272,3 +272,71 @@ def test_http_concurrent_clients_coalesce(small):
     finally:
         httpd.shutdown()
         srv.close()
+
+
+def test_submit_isolates_incompatible_requests(small):
+    """A malformed request coalesced alongside valid ones must fail ALONE:
+    grouping is keyed on tensor shapes, so the valid requests still get
+    answers (regression test for the group-wide-400 failure mode)."""
+    cfg, params, _ = small
+    srv = InferenceServer(cfg, params, buckets=(2, 4, 8),
+                          coalesce_window_s=0.3)
+    good = [_request(cfg, 1, seed=300 + i) for i in range(4)]
+    expected = [srv.predict(*g) for g in good]
+    P_bad, t_bad, s_bad = _request(cfg, 1, seed=999)
+    P_bad = P_bad[:, : cfg.max_len - 2]    # wrong T
+    results = {}
+    errors = {}
+    barrier = threading.Barrier(5)
+
+    def client(i, req):
+        try:
+            barrier.wait(timeout=30)
+            results[i] = srv.submit(*req, timeout=60)
+        except Exception as e:  # noqa: BLE001
+            errors[i] = e
+
+    threads = [threading.Thread(target=client, args=(i, g))
+               for i, g in enumerate(good)]
+    threads.append(threading.Thread(target=client,
+                                    args=(4, (P_bad, t_bad, s_bad))))
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert set(errors) == {4}, (errors, set(results))
+    for i in range(4):
+        np.testing.assert_allclose(results[i], expected[i],
+                                   rtol=1e-6, atol=1e-6)
+    srv.close()
+
+
+def test_close_completes_queued_requests(small):
+    """close() must not strand queued submit() callers: requests enqueued
+    before close complete; post-close submits fail fast."""
+    cfg, params, _ = small
+    srv = InferenceServer(cfg, params, buckets=(2,),
+                          coalesce_window_s=0.2)
+    req = _request(cfg, 1, seed=7)
+    want = srv.predict(*req)
+    results, errors = [], []
+
+    def client():
+        try:
+            results.append(srv.submit(*req, timeout=60))
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=client) for _ in range(6)]
+    for t in threads:
+        t.start()
+    srv.close()                 # racing with the submitting threads
+    for t in threads:
+        t.join(timeout=120)
+    # every thread either got the correct answer or a clean
+    # 'server closed' — nobody hangs, nothing wrong is returned
+    assert len(results) + len(errors) == 6
+    for r in results:
+        np.testing.assert_allclose(r, want, rtol=1e-6, atol=1e-6)
+    for e in errors:
+        assert "closed" in str(e)
