@@ -55,3 +55,83 @@ def sequence_parallel_attention(
         out_specs=P("data", None, "model"),
     )
     return fn(q, k, v, lengths.astype(jnp.int32))
+
+
+def ring_attention(
+    mesh: Mesh,
+    q: jnp.ndarray,          # [B, H, T, D]
+    k: jnp.ndarray,          # [B, H, T, D]
+    v: jnp.ndarray,          # [B, H, T, D]
+    lengths: jnp.ndarray,    # [B] valid key counts
+    axis: str = "model",
+) -> jnp.ndarray:
+    """Ring attention over the time axis (SURVEY.md §2.5's context-
+    parallel slot): q/k/v are sharded on T over `axis` and — unlike
+    `sequence_parallel_attention`, which all-gathers full K/V — the K/V
+    blocks STAY sharded and rotate around the ring one hop per step via
+    `jax.lax.ppermute` (ICI neighbor exchange), while each device folds the
+    visiting block into its queries with the online-softmax recurrence
+    (running max / sum / accumulator — the same flash-attention math as
+    ops/flash_attention.py's streaming kernel). Per-device memory is
+    O(T/n) for K/V and O(T_loc * T_loc) for scores, so the context length
+    scales with the ring size; the ppermute of the NEXT block overlaps the
+    current block's compute in XLA's schedule.
+
+    Padding semantics match the framework convention: padded keys are
+    masked by global column index, fully-padded query rows emit zeros.
+    Numerically equal to dense masked attention to fp tolerance (tested on
+    the virtual mesh vs the single-device oracle).
+    """
+    n = mesh.shape[axis]
+    T, D = q.shape[2], q.shape[3]
+    if T % n:
+        raise ValueError(f"T={T} must divide the '{axis}' axis size {n}")
+    t_loc = T // n
+    scale = 1.0 / math.sqrt(D)
+    perm = [(j, (j + 1) % n) for j in range(n)]
+
+    def shard_fn(qs, ks, vs, ls):
+        # qs/ks/vs: [b_loc, H, t_loc, D]; this device owns ring slot `idx`
+        idx = jax.lax.axis_index(axis)
+        qsf = qs.astype(jnp.float32) * scale
+        # initial carry derived from the sharded input so its device-
+        # varying axes match the loop body's outputs (shard_map tracks
+        # varying axes through lax.fori_loop carries)
+        zero = qsf[..., :1] * 0.0
+        m0 = zero - jnp.inf
+        l0 = zero
+        acc0 = qsf * 0.0
+
+        def body(i, carry):
+            m, l, acc, kb, vb = carry
+            # after i hops, the visiting block originated at slot idx - i
+            src = (idx - i) % n
+            col = jnp.arange(t_loc)[None, None, :] + src * t_loc  # [1,1,t]
+            bias = jnp.where(col[:, :, None, :] < ls[:, None, None, None],
+                             0.0, -1e30)                  # [b,1,1,t_loc]
+            s = jnp.einsum("bhqd,bhkd->bhqk", qsf,
+                           kb.astype(jnp.float32)) + bias
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            # masked cols underflow to exact 0; the min+re-bias guards the
+            # all-masked-so-far corner where m_new is still -inf
+            p = jnp.exp(jnp.minimum(s - m_new, 0.0) + bias)
+            corr = jnp.exp(jnp.minimum(m - m_new, 0.0))
+            l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+            acc_new = acc * corr + jnp.einsum(
+                "bhqk,bhkd->bhqd", p, vb.astype(jnp.float32))
+            kb = jax.lax.ppermute(kb, axis, perm)
+            vb = jax.lax.ppermute(vb, axis, perm)
+            return m_new, l_new, acc_new, kb, vb
+
+        m, l, acc, _, _ = jax.lax.fori_loop(
+            0, n, body, (m0, l0, acc0, ks, vs))
+        out = acc / jnp.where(l > 0, l, 1.0)
+        return out.astype(q.dtype)
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("data", None, axis), P("data", None, axis),
+                  P("data", None, axis), P("data")),
+        out_specs=P("data", None, axis),
+    )
+    return fn(q, k, v, lengths.astype(jnp.int32))
