@@ -78,12 +78,16 @@ def multihead_self_attention(
         return t.reshape(B, T, nhead, hd).transpose(0, 2, 1, 3)
 
     if backend == "auto":
-        # The Pallas kernel wins once the T x T score matrix dominates HBM
-        # traffic; below that the XLA fusion of these small shapes is faster.
-        backend = ("flash" if T >= 256 and jax.default_backend() == "tpu"
+        # The packed-heads Pallas kernel wins once the T x T score matrix
+        # dominates; below that XLA's fusion of these small shapes is
+        # faster. Crossover measured on v5e with the packed fused kernel:
+        # flash wins at T=128 (1.12x), 215 (1.07x) and 600 (see
+        # docs/PERFORMANCE.md), dense wins at T=60.
+        backend = ("flash" if T >= 128 and jax.default_backend() == "tpu"
                    else "dense")
     if backend == "flash":
-        from raindrop_tpu.ops.flash_attention import flash_mha
+        from raindrop_tpu.ops.flash_attention import (
+            MAX_FUSED_T, flash_mha, flash_mha_packed)
 
         # key_padding_mask marks t >= length (contiguous suffix padding,
         # nn/aggregate.padding_mask); flash takes the prefix lengths.
@@ -94,9 +98,14 @@ def multihead_self_attention(
                 if rate > 0.0 else None)
         cd = (None if score_dtype in (None, "float32")
               else str(score_dtype))
-        out = flash_mha(heads(q), heads(k), heads(v), lengths, seed, rate,
-                        cd)
-        out = out.transpose(0, 2, 1, 3).reshape(B, T, d)
+        if -(-T // 8) * 8 <= MAX_FUSED_T:
+            # packed-heads fused kernel: q/k/v in natural [B, T, d] layout,
+            # zero head transposes on either side of the kernel
+            out = flash_mha_packed(q, k, v, lengths, seed, rate, cd, nhead)
+        else:
+            out = flash_mha(heads(q), heads(k), heads(v), lengths, seed,
+                            rate, cd)
+            out = out.transpose(0, 2, 1, 3).reshape(B, T, d)
         return linear_apply(p["out_proj"], out)
 
     q, k, v = heads(q) * (hd ** -0.5), heads(k), heads(v)

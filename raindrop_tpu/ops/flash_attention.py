@@ -542,6 +542,193 @@ def _flash_bwd(dropout_rate, compute_dtype, res, g):
 flash_mha.defvjp(_flash_fwd, _flash_bwd)
 
 
+# --------------------------------------------------------------------------
+# Packed-heads fused kernels: q/k/v stay in the model's natural [B, T, d]
+# layout (d = H*hd). Per-head score dots need NO head split because q and k
+# keep each head's channels in the SAME column range — masking the other
+# heads' lanes to zero makes (q . m_h) @ (k . m_h)^T contract exactly over
+# head h's channels — and each head's PV product lands its output in its
+# own column range, so summing over heads yields the merged [T, d] output
+# directly. This removes every [B,T,H,hd] <-> [B,H,T,hd] transpose/copy the
+# split-head wrapper pays on both the forward and backward paths (measured
+# ~10% of the PAM train step). One program per SAMPLE computes all heads.
+# --------------------------------------------------------------------------
+
+
+def _head_mask(d, h, hd, ref_dtype):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, d), 1)
+    return ((lane >= h * hd) & (lane < (h + 1) * hd)).astype(ref_dtype)
+
+
+def _packed_fwd_kernel(seed_ref, lengths_ref, q_ref, k_ref, v_ref,
+                       o_ref, lse_ref, *, scale, dropout_rate, t, nhead,
+                       hw_prng):
+    b = pl.program_id(0)
+    length = lengths_ref[b]
+    d = q_ref.shape[-1]
+    hd = d // nhead
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    bias = _col_bias(length, t)
+    valid = length > 0
+    o = jnp.zeros(q.shape, jnp.float32)
+    for h in range(nhead):
+        m_h = _head_mask(d, h, hd, q.dtype)
+        s = jax.lax.dot_general(q * m_h, k * m_h, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = s + bias
+        mx = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - mx)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        if dropout_rate > 0.0:
+            keep = _dropout_keep(seed_ref, b * nhead + h, 0, 0, (t, t),
+                                 dropout_rate, hw_prng)
+            p = p * keep / (1.0 - dropout_rate)
+        o = o + jax.lax.dot_general(
+            p.astype(v.dtype), v * m_h, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) / l
+        lse_ref[0, h, :] = jnp.where(valid, mx[:, 0] + jnp.log(l[:, 0]),
+                                     NEG_INF)
+    o_ref[0] = jnp.where(valid, o, 0.0)
+
+
+def _packed_bwd_kernel(seed_ref, lengths_ref, q_ref, k_ref, v_ref, do_ref,
+                       lse_ref, delta_ref, dq_ref, dk_ref, dv_ref,
+                       *, scale, dropout_rate, t, nhead, hw_prng):
+    b = pl.program_id(0)
+    length = lengths_ref[b]
+    d = q_ref.shape[-1]
+    hd = d // nhead
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    bias = _col_bias(length, t)
+    validf = (length > 0).astype(jnp.float32)
+    od = v_ref.dtype
+    dq = jnp.zeros(q.shape, jnp.float32)
+    dk = jnp.zeros(q.shape, jnp.float32)
+    dv = jnp.zeros(q.shape, jnp.float32)
+    for h in range(nhead):
+        m_h = _head_mask(d, h, hd, q.dtype)
+        kh = k * m_h
+        vh = v * m_h
+        doh = (do * m_h.astype(do.dtype)).astype(od)
+        lse = lse_ref[0, h, :][:, None]
+        delta = delta_ref[0, h, :][:, None]
+        s = jax.lax.dot_general(q * m_h, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        p = jnp.exp(s + bias - lse)
+        dp = jax.lax.dot_general(doh, vh, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        if dropout_rate > 0.0:
+            keep = _dropout_keep(seed_ref, b * nhead + h, 0, 0, (t, t),
+                                 dropout_rate, hw_prng)
+            p_drop = p * keep / (1.0 - dropout_rate)
+            dp = dp * keep / (1.0 - dropout_rate)
+        else:
+            p_drop = p
+        ds = (p * (dp - delta)).astype(od)
+        dq = dq + jax.lax.dot_general(
+            ds, kh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dk = dk + jax.lax.dot_general(
+            ds, q * m_h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dv = dv + jax.lax.dot_general(
+            p_drop.astype(od), doh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    dq_ref[0] = dq * (scale * validf)
+    dk_ref[0] = dk * (scale * validf)
+    dv_ref[0] = dv * validf
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def flash_mha_packed(q, k, v, lengths, seed=None, dropout_rate=0.0,
+                     compute_dtype=None, nhead=1):
+    """Packed-heads fused flash attention: q, k, v [B, T, d] with d =
+    nhead*hd (the layout straight out of the qkv projection — no head
+    transpose anywhere). Dropout masks match flash_mha's (bh = b*nhead+h
+    seeding). Fused-VMEM regime only: requires T (padded to 8) <=
+    MAX_FUSED_T; callers fall back to flash_mha beyond that.
+    """
+    o, _ = _packed_fwd(q, k, v, lengths, seed, dropout_rate, compute_dtype,
+                       nhead)
+    return o
+
+
+def _packed_fwd(q, k, v, lengths, seed, dropout_rate, compute_dtype, nhead):
+    B, T, d = q.shape
+    if d % nhead:
+        raise ValueError(f"d={d} not divisible by nhead={nhead}")
+    t8 = -(-T // 8) * 8
+    if t8 > MAX_FUSED_T:
+        raise ValueError(
+            f"flash_mha_packed is the fused regime (T<= {MAX_FUSED_T}); "
+            f"use flash_mha for T={T}")
+    od = _operand_dtype(compute_dtype)
+    interpret = _use_interpret()
+    hd = d // nhead
+    scale = 1.0 / math.sqrt(hd)
+
+    def prep(x):
+        return _pad_to(x, t8, 1).astype(od)
+
+    qp, kp, vp = prep(q), prep(k), prep(v)
+    lens = lengths.astype(jnp.int32)
+    full = pl.BlockSpec((1, t8, d), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((1, nhead, t8), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    o_p, lse = pl.pallas_call(
+        functools.partial(_packed_fwd_kernel, scale=scale,
+                          dropout_rate=dropout_rate, t=t8, nhead=nhead,
+                          hw_prng=not interpret),
+        grid=(B,),
+        in_specs=_scalar_specs() + [full, full, full],
+        out_specs=[full, lse_spec],
+        out_shape=[jax.ShapeDtypeStruct((B, t8, d), jnp.float32),
+                   jax.ShapeDtypeStruct((B, nhead, t8), jnp.float32)],
+        interpret=interpret,
+    )(_seed_arr(seed), lens, qp, kp, vp)
+    o = o_p[:, :T]
+    return o, (qp, kp, vp, lens, _seed_arr(seed), o_p, lse, (B, T, d))
+
+
+def _packed_bwd(dropout_rate, compute_dtype, nhead, res, g):
+    qp, kp, vp, lens, seed_arr, o_p, lse, (B, T, d) = res
+    t8 = qp.shape[1]
+    od = qp.dtype
+    hd = d // nhead
+    scale = 1.0 / math.sqrt(hd)
+    interpret = _use_interpret()
+    do = _pad_to(g, t8, 1).astype(od)
+    # per-head delta: sum over each head's channel range of do * o
+    delta = jnp.sum(
+        (do.astype(jnp.float32) * o_p).reshape(B, t8, nhead, hd), axis=-1
+    ).transpose(0, 2, 1)                                   # [B, nhead, t8]
+    full = pl.BlockSpec((1, t8, d), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((1, nhead, t8), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_packed_bwd_kernel, scale=scale,
+                          dropout_rate=dropout_rate, t=t8, nhead=nhead,
+                          hw_prng=not interpret),
+        grid=(B,),
+        in_specs=_scalar_specs() + [full, full, full, full,
+                                    lse_spec, lse_spec],
+        out_specs=[full, full, full],
+        out_shape=[jax.ShapeDtypeStruct((B, t8, d), jnp.float32)] * 3,
+        interpret=interpret,
+    )(seed_arr, lens, qp, kp, vp, do, lse, delta)
+    return (dq[:, :T], dk[:, :T], dv[:, :T], None, None)
+
+
+flash_mha_packed.defvjp(_packed_fwd, _packed_bwd)
+
+
 def attention_reference(q, k, v, lengths, dropout_rate=0.0, rng=None):
     """Dense XLA oracle with identical masking semantics (no dropout parity —
     dropout masks differ between implementations by construction)."""

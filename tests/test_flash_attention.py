@@ -118,3 +118,79 @@ def test_bf16_compute_dtype_close_to_f32(rng_np):
     gq = jax.grad(lambda a: jnp.sum(
         flash_mha(a, k, v, lengths0, None, 0.0, "bfloat16") ** 2))(q)
     assert bool(jnp.all(gq[1] == 0.0)) and bool(jnp.all(jnp.isfinite(gq)))
+
+
+# ---- packed-heads fused kernel (natural [B, T, d] layout) -----------------
+def _pack(q):  # [B, H, T, hd] -> [B, T, H*hd]
+    B, H, T, hd = q.shape
+    return jnp.asarray(np.asarray(q).transpose(0, 2, 1, 3).reshape(B, T, H * hd))
+
+
+def test_packed_matches_dense(rng_np):
+    from raindrop_tpu.ops.flash_attention import flash_mha_packed
+
+    for H, hd in ((2, 20), (3, 8), (1, 16)):
+        q, k, v = _rand_qkv(rng_np, 2, H, 70, hd)
+        lengths = jnp.asarray([70, 33], jnp.int32)
+        o_ref = attention_reference(q, k, v, lengths)
+        o_p = flash_mha_packed(_pack(q), _pack(k), _pack(v), lengths,
+                               None, 0.0, None, H)
+        np.testing.assert_allclose(np.asarray(o_p), np.asarray(_pack(o_ref)),
+                                   rtol=1e-4, atol=1e-5, err_msg=f"H={H}")
+
+
+def test_packed_grads_match_dense(rng_np):
+    from raindrop_tpu.ops.flash_attention import flash_mha_packed
+
+    H, hd = 2, 12
+    q, k, v = _rand_qkv(rng_np, 2, H, 40, hd)
+    lengths = jnp.asarray([40, 17], jnp.int32)
+    qp, kp, vp = _pack(q), _pack(k), _pack(v)
+    g1 = jax.grad(lambda *a: jnp.sum(
+        flash_mha_packed(*a, lengths, None, 0.0, None, H) ** 2),
+        argnums=(0, 1, 2))(qp, kp, vp)
+    g2 = jax.grad(lambda *a: jnp.sum(attention_reference(*a, lengths) ** 2),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(_pack(b)),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_packed_length_zero_and_dropout(rng_np):
+    from raindrop_tpu.ops.flash_attention import flash_mha_packed
+
+    H, hd = 2, 8
+    q, k, v = _rand_qkv(rng_np, 2, H, 35, hd)
+    qp, kp, vp = _pack(q), _pack(k), _pack(v)
+    lengths0 = jnp.asarray([35, 0], jnp.int32)
+    o0 = flash_mha_packed(qp, kp, vp, lengths0, None, 0.0, None, H)
+    assert bool(jnp.all(o0[1] == 0.0)) and bool(jnp.all(jnp.isfinite(o0)))
+    gq = jax.grad(lambda a: jnp.sum(
+        flash_mha_packed(a, kp, vp, lengths0, None, 0.0, None, H) ** 2))(qp)
+    assert bool(jnp.all(gq[1] == 0.0)) and bool(jnp.all(jnp.isfinite(gq)))
+    # dropout: deterministic in seed, grads flow
+    seed = jnp.asarray([5], jnp.int32)
+    lengths = jnp.asarray([35, 20], jnp.int32)
+    d1 = flash_mha_packed(qp, kp, vp, lengths, seed, 0.3, None, H)
+    d2 = flash_mha_packed(qp, kp, vp, lengths, seed, 0.3, None, H)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    g = jax.grad(lambda a: jnp.sum(
+        flash_mha_packed(a, kp, vp, lengths, seed, 0.3, None, H) ** 2))(qp)
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_transformer_uses_packed_and_matches_dense(rng_np):
+    """The transformer's fused-regime flash path (packed kernel, no head
+    transposes) equals the dense backend."""
+    from raindrop_tpu.nn.transformer import (
+        transformer_encoder_init, transformer_encoder_apply)
+    d, nhead, T, B = 24, 3, 40, 3
+    params = transformer_encoder_init(jax.random.PRNGKey(1), d, nhead, 48, 2)
+    x = jnp.asarray(rng_np.normal(size=(B, T, d)).astype(np.float32))
+    lengths = np.array([40, 22, 7])
+    mask = jnp.asarray(np.arange(T)[None] >= lengths[:, None])
+    out_d = transformer_encoder_apply(params, x, mask, nhead, backend="dense")
+    out_f = transformer_encoder_apply(params, x, mask, nhead,
+                                      backend="flash", score_dtype="float32")
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_f),
+                               rtol=1e-4, atol=1e-5)
