@@ -135,3 +135,76 @@ def test_cross_channel_interp_vs_numpy_oracle(reconstruction):
         params, jnp.asarray(x, jnp.float32), reconstruction=reconstruction))
     ref = cross_channel_interp_np(cci, x, reconstruction=reconstruction)
     np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+
+
+# ---- analytic micro-oracle ------------------------------------------------
+def test_single_channel_interp_analytic_closed_form():
+    """Independent of BOTH the jnp implementation and the numpy
+    transcription: hand-compute the published RBF interpolation formula
+    (interpolation_layer.py:38-66 — a mask-weighted Nadaraya-Watson
+    estimate y[r] = sum_t m_t e^{-kappa*alpha*(d_t-r)^2} x_t / norm,
+    alpha = softplus(kernel), kappa in {1, 10}) with plain Python floats
+    on a 2-observation channel and require the framework to match."""
+    import math
+
+    import jax.numpy as jnp
+    from raindrop_tpu.baselines.ipnet import (
+        _single_channel_interp, ipnet_init)
+
+    F, T, R, hours = 1, 2, 3, 2.0
+    params = ipnet_init(jax.random.PRNGKey(0), F, ref_points=R,
+                        hours_look_ahead=hours)
+    # sci_kernel zero-init => alpha = softplus(0) = ln 2
+    alpha = math.log(2.0)
+    x_vals = [0.7, -1.3]
+    d = [0.25, 1.5]
+    m = [1.0, 1.0]
+    x = jnp.asarray([[x_vals, m, d, [0.0, 0.0]]], jnp.float32)  # [1, 4F, T]
+    out = np.asarray(_single_channel_interp(params, x))         # [1, 3F, R]
+
+    ref_ts = [hours * r / (R - 1) for r in range(R)]            # linspace
+    for kappa, row in ((1.0, 0), (10.0, 2)):
+        for r, t_r in enumerate(ref_ts):
+            ws = [mi * math.exp(-kappa * alpha * (di - t_r) ** 2)
+                  for di, mi in zip(d, m)]
+            expect = sum(w * xv for w, xv in zip(ws, x_vals)) / sum(ws)
+            assert out[0, row, r] == pytest.approx(expect, rel=1e-5), (
+                kappa, r)
+    # middle row is the log-intensity: log sum_t m_t e^{-alpha (d_t-r)^2}
+    for r, t_r in enumerate(ref_ts):
+        expect_w = math.log(sum(
+            mi * math.exp(-alpha * (di - t_r) ** 2)
+            for di, mi in zip(d, m)))
+        assert out[0, 1, r] == pytest.approx(expect_w, rel=1e-5)
+
+
+def test_cross_channel_interp_analytic_closed_form():
+    """Hand-computed cross-channel mixing (interpolation_layer.py:88-120):
+    with the identity-init mixing matrix, mixed[r, f] = mean_f +
+    softmax_over_channels(w)[r, f] * (y[r, f] - mean_f), where mean_f is
+    the channel's mean over the R reference points."""
+    import math
+
+    import jax.numpy as jnp
+    from raindrop_tpu.baselines.ipnet import (
+        _cross_channel_interp, ipnet_init)
+
+    F, R = 2, 2
+    params = ipnet_init(jax.random.PRNGKey(0), F)      # cci_w = identity
+    y = [[1.0, 3.0], [2.0, -2.0]]                      # [F, R]
+    w = [[0.1, 0.5], [0.3, 0.2]]                       # log-intensities
+    y_trans = [[0.0, 0.0], [0.0, 0.0]]
+    x = jnp.asarray([y + w + y_trans], jnp.float32).reshape(1, 3 * F, R)
+    out = np.asarray(_cross_channel_interp(params, x))  # [1, 3F, R]
+
+    means = [sum(row) / R for row in y]
+    for r in range(R):
+        den = sum(math.exp(w[g][r]) for g in range(F))
+        for f in range(F):
+            sm = math.exp(w[f][r]) / den
+            expect = means[f] + sm * (y[f][r] - means[f])
+            assert out[0, f, r] == pytest.approx(expect, rel=1e-5), (f, r)
+        # intensity rows are exp(w)
+        for f in range(F):
+            assert out[0, F + f, r] == pytest.approx(
+                math.exp(w[f][r]), rel=1e-5)
