@@ -225,3 +225,105 @@ def test_compare_golden_cli_end_to_end(tmp_path):
     assert abs(got["auprc"]["mean"] - golden[1, 0]) < 7.0, (got, golden)
     # the golden-comparison pipeline itself ran and recorded its deltas
     assert "golden_delta" in ours, list(ours)
+
+
+# ---- PAM: the multiclass / strategy-3 protocol ----------------------------
+def test_pam_full_protocol_vs_reference_loop():
+    """The 8-class PAM protocol against the unmodified reference source:
+    strategy-3 uniform batches (code/Raindrop.py:301-307), sigmoid one-hot
+    AUROC/AUPRC on val (:331-337 quirk applied to validation at :349-358),
+    best-by-val-AUROC, softmax test metrics incl. macro P/R/F1
+    (:395-401). Covers the multiclass metric paths the P12 surrogate
+    cannot."""
+    from sklearn.metrics import (
+        average_precision_score, f1_score, roc_auc_score)
+    from raindrop_tpu.train.metrics import one_hot
+
+    n, batch, n_batches, epochs, seed = 400, 32, 20, 12, 9
+    cfg = dataset_config("PAM", max_len=T_LEN, dropout=0.0)
+    split = synthetic_split("PAM", n=n, seed=1, T=T_LEN)
+    tcfg = TrainConfig(dataset="PAM", batch_size=batch, num_epochs=epochs,
+                       learning_rate=LR, batching_strategy=3,
+                       n_batches_strategy3=n_batches, seed=seed)
+    trainer = Trainer(cfg, tcfg)
+    ours = trainer.train_split(split, seed=seed, verbose=False)
+
+    # every class present in val/test so sklearn one-hot scores are defined
+    assert len(np.unique(split.yval)) == cfg.n_classes
+    assert len(np.unique(split.ytest)) == cfg.n_classes
+
+    init_key = jax.random.split(jax.random.PRNGKey(seed))[1]
+    params0 = jax.device_get(trainer._init(init_key))
+
+    models_rd = reference_source.load("models_rd")
+    F_ = cfg.d_inp
+    model = models_rd.Raindrop_v2(
+        d_inp=cfg.d_inp, d_model=cfg.d_model, nhead=cfg.nhead,
+        nhid=cfg.ffn_dim, nlayers=cfg.nlayers, dropout=0.0,
+        max_len=cfg.max_len, d_static=0, MAX=cfg.MAX,
+        aggreg="mean", n_classes=cfg.n_classes,
+        global_structure=torch.ones(F_, F_), sensor_wise_mask=False,
+        static=False)
+    _port_raindrop_to_reference(model, params0, cfg)
+    criterion = torch.nn.CrossEntropyLoss()
+    optimizer = torch.optim.Adam(model.parameters(), lr=LR)
+    scheduler = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        optimizer, mode="max", factor=0.1, patience=1, threshold=1e-4,
+        threshold_mode="rel", cooldown=0, min_lr=1e-8, eps=1e-8)
+
+    def t(a):
+        return torch.tensor(np.asarray(a), dtype=torch.float32)
+
+    Ptr = t(split.Ptrain).permute(1, 0, 2)
+    Ptr_time = t(split.Ptrain_time).permute(1, 0)
+    ytr = torch.tensor(np.asarray(split.ytrain), dtype=torch.long)
+    Pva = t(split.Pval).permute(1, 0, 2)
+    Pva_time = t(split.Pval_time).permute(1, 0)
+    Pte = t(split.Ptest).permute(1, 0, 2)
+    Pte_time = t(split.Ptest_time).permute(1, 0)
+
+    rng = np.random.default_rng(seed)
+    best = {"auroc": 0.0, "state": None}
+    for _epoch in range(epochs):
+        model.train()
+        for idx in balanced_batches(split.ytrain, batch, 3, rng,
+                                    n_batches=n_batches):
+            P = Ptr[:, idx, :]
+            Ptime = Ptr_time[:, idx]
+            lengths = torch.sum(Ptime > 0, dim=0)
+            outputs, _, _ = model.forward(P, None, Ptime, lengths)
+            optimizer.zero_grad()
+            loss = criterion(outputs, ytr[idx])
+            loss.backward()
+            optimizer.step()
+        model.eval()
+        with torch.no_grad():
+            lv = torch.sum(Pva_time > 0, dim=0)
+            out_val, _, _ = model.forward(Pva, None, Pva_time, lv)
+            probs = torch.sigmoid(out_val).numpy()     # PAM val quirk :349
+        oh = one_hot(split.yval, cfg.n_classes)
+        auroc = roc_auc_score(oh, probs)
+        auprc = average_precision_score(oh, probs)
+        scheduler.step(auprc)
+        if auroc > best["auroc"]:
+            best = {"auroc": auroc,
+                    "state": copy.deepcopy(model.state_dict())}
+
+    if best["state"] is not None:
+        model.load_state_dict(best["state"])
+    model.eval()
+    with torch.no_grad():
+        lt = torch.sum(Pte_time > 0, dim=0)
+        out_t, _, _ = model.forward(Pte, None, Pte_time, lt)
+        probs_t = torch.softmax(out_t, dim=1).numpy()
+    ypred = probs_t.argmax(1)
+    ref_auroc = roc_auc_score(one_hot(split.ytest, cfg.n_classes), probs_t)
+    ref_f1 = f1_score(split.ytest, ypred, average="macro")
+
+    assert abs(ours.test_metrics["auroc"] - ref_auroc) < 0.05, (
+        ours.test_metrics, ref_auroc)
+    assert abs(ours.test_metrics["f1"] - ref_f1) < 0.10, (
+        ours.test_metrics, ref_f1)
+    assert abs(ours.best_val_auroc - best["auroc"]) < 0.05
+    # the 8-class model actually learned under strategy-3 batching
+    assert ref_auroc > 0.7 and ours.test_metrics["auroc"] > 0.7
