@@ -194,3 +194,35 @@ def test_transformer_uses_packed_and_matches_dense(rng_np):
                                       backend="flash", score_dtype="float32")
     np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_f),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_packed_equals_split_head_fuzz(rng_np):
+    """Property fuzz: across random (B, H, T, hd) shapes and ragged/edge
+    lengths the packed-heads kernel must agree with the split-head fused
+    kernel (both f32) — they are two layouts of the same math."""
+    from raindrop_tpu.ops.flash_attention import flash_mha_packed
+
+    for trial in range(6):
+        B = int(rng_np.integers(1, 4))
+        H = int(rng_np.integers(1, 4))
+        T = int(rng_np.integers(3, 90))
+        hd = int(rng_np.integers(2, 24))
+        q, k, v = _rand_qkv(rng_np, B, H, T, hd)
+        lengths = jnp.asarray(
+            rng_np.integers(0, T + 1, size=(B,)).astype(np.int32))
+        o_split = flash_mha(q, k, v, lengths)
+        o_packed = flash_mha_packed(_pack(q), _pack(k), _pack(v), lengths,
+                                    None, 0.0, None, H)
+        np.testing.assert_allclose(
+            np.asarray(o_packed), np.asarray(_pack(o_split)),
+            rtol=1e-4, atol=1e-5,
+            err_msg=f"trial {trial}: B={B} H={H} T={T} hd={hd} "
+                    f"lengths={np.asarray(lengths)}")
+        gp = jax.grad(lambda a: jnp.sum(flash_mha_packed(
+            a, _pack(k), _pack(v), lengths, None, 0.0, None, H) ** 2))(
+            _pack(q))
+        gs = jax.grad(lambda a: jnp.sum(flash_mha(
+            a, k, v, lengths) ** 2))(q)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(_pack(gs)),
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"grad trial {trial}")
