@@ -102,8 +102,7 @@ def ring_attention(
         l0 = zero
         acc0 = qsf * 0.0
 
-        def body(i, carry):
-            m, l, acc, kb, vb = carry
+        def fold(i, m, l, acc, kb, vb):
             # after i hops, the visiting block originated at slot idx - i
             src = (idx - i) % n
             col = jnp.arange(t_loc)[None, None, :] + src * t_loc  # [1,1,t]
@@ -119,12 +118,21 @@ def ring_attention(
             l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
             acc_new = acc * corr + jnp.einsum(
                 "bhqk,bhkd->bhqd", p, vb.astype(jnp.float32))
+            return m_new, l_new, acc_new
+
+        def body(i, carry):
+            m, l, acc, kb, vb = carry
+            m, l, acc = fold(i, m, l, acc, kb, vb)
             kb = jax.lax.ppermute(kb, axis, perm)
             vb = jax.lax.ppermute(vb, axis, perm)
-            return m_new, l_new, acc_new, kb, vb
+            return m, l, acc, kb, vb
 
-        m, l, acc, _, _ = jax.lax.fori_loop(
-            0, n, body, (m0, l0, acc0, ks, vs))
+        # n-1 fold+rotate steps, then fold the last visiting block WITHOUT
+        # a final rotation (its result would be discarded — one wasted
+        # neighbor-exchange pair per call otherwise)
+        m, l, acc, kb, vb = jax.lax.fori_loop(
+            0, n - 1, body, (m0, l0, acc0, ks, vs))
+        m, l, acc = fold(n - 1, m, l, acc, kb, vb)
         out = acc / jnp.where(l > 0, l, 1.0)
         return out.astype(q.dtype)
 

@@ -168,9 +168,10 @@ def test_raindrop_v2_pam_full_forward_vs_source():
     (T=600, F=17, 8 classes, no statics) vs the unmodified source — the
     multiclass/no-static model shape previously covered only by toy-dim
     transcription tests (VERDICT r2 weak #6). Also exercises in_channels =
-    600*4 = 2400 node features and the T>=256 flash-attention dispatch
-    boundary on the JAX side (attention_backend='dense' here so both sides
-    run the same dense math; the flash kernel has its own parity suite)."""
+    600*4 = 2400 node features (attention_backend='dense' here so both
+    sides run the same dense math; at T=600 the auto backend would pick
+    the packed flash kernel — T>=128 crossover — which has its own parity
+    suite in tests/test_flash_attention.py)."""
     cfg = dataset_config("PAM", attention_backend="dense")
     B, F_ = 3, cfg.d_inp
     models_rd = reference_source.load("models_rd")
