@@ -146,6 +146,12 @@ class TrainConfig:
     # (same sampler stream, same train step — tested). Single-host only.
     input_pipeline: str = "resident"      # 'resident' | 'streaming'
     prefetch_depth: int = 2               # streaming double-buffer depth
+    # Opt-in production MFU telemetry: measure the per-step model FLOPs
+    # once (XLA compiled cost analysis, utils/diagnostics.compiled_flops)
+    # and add achieved train_tflops_per_sec + mfu to every epoch record /
+    # tracker event. Off by default (the analysis lowers+compiles the
+    # unscanned step once per train_split).
+    measure_mfu: bool = False
     checkpoint_dir: str = "checkpoints"
     log_path: Optional[str] = None        # JSONL log file
     # weight on the model's aux output in the train loss (IP-Net uses its

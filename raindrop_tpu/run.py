@@ -115,6 +115,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "hard-codes per-dataset values; 0 makes training "
                         "deterministic — used by the golden-reproduction "
                         "harness)")
+    p.add_argument("--measure-mfu", type=str2bool, default=False,
+                   help="add achieved TFLOP/s + MFU (vs the v5e 197 "
+                        "TFLOP/s peak) to every epoch record — measured "
+                        "model FLOPs from XLA's compiled cost analysis")
     p.add_argument("--track-jsonl", default=None, metavar="PATH",
                    help="run-tracking sink (utils/tracking.JSONLTracker): "
                         "append start/epoch/finish lifecycle events as "
@@ -239,6 +243,7 @@ def main(argv=None) -> int:
             missing_ratio=mr, predictive_label=args.predictive_label,
             seed=args.seed, checkpoint_dir=args.checkpoint_dir,
             input_pipeline=args.input_pipeline,
+            measure_mfu=args.measure_mfu,
             log_path=args.log_path,
             resplit_per_run=args.resplit_per_run,
             diag_frozen_params=args.diag_frozen_params)

@@ -333,6 +333,27 @@ class Trainer:
         params_snapshot = (jax.device_get(params)
                            if tcfg.diag_frozen_params else None)
 
+        # opt-in production MFU telemetry (tcfg.measure_mfu): model FLOPs
+        # of one train step from XLA's compiled cost analysis, measured
+        # once; epoch records then carry achieved TFLOP/s and MFU.
+        step_flops, _mfu_fn, last_elapsed = None, None, 0.0
+        if tcfg.measure_mfu:
+            from raindrop_tpu.utils.diagnostics import compiled_flops
+            from raindrop_tpu.utils.diagnostics import mfu as _mfu_fn
+            Bsz = tcfg.batch_size
+            aval = {"P": jax.ShapeDtypeStruct(
+                        (Bsz,) + split.Ptrain.shape[1:], jnp.float32),
+                    "time": jax.ShapeDtypeStruct(
+                        (Bsz,) + split.Ptrain_time.shape[1:], jnp.float32),
+                    "y": jax.ShapeDtypeStruct((Bsz,), jnp.int32)}
+            if split.Ptrain_static is not None:
+                aval["static"] = jax.ShapeDtypeStruct(
+                    (Bsz,) + split.Ptrain_static.shape[1:], jnp.float32)
+            step_flops = compiled_flops(
+                self._train_step, params, opt_state, aval,
+                jax.random.PRNGKey(0))
+        epoch_steps = n_batches
+
         # Single-device fast path: keep the split resident on device and run
         # each epoch as ONE scanned dispatch (see train_epoch in _build).
         # Sharded meshes keep the per-step path (per-batch device_put with
@@ -446,6 +467,13 @@ class Trainer:
             rec = {"epoch": epoch, "train_loss": float(loss),
                    "val_auroc": val["auroc"], "val_auprc": val["auprc"],
                    "lr": new_lr, "elapsed_s": time.time() - t0}
+            if step_flops and rec["elapsed_s"] > last_elapsed:
+                # achieved model FLOP/s this epoch (tcfg.measure_mfu)
+                flops_per_sec = (step_flops * epoch_steps
+                                 / (rec["elapsed_s"] - last_elapsed))
+                rec["train_tflops_per_sec"] = flops_per_sec / 1e12
+                rec["mfu"] = _mfu_fn(flops_per_sec)
+            last_elapsed = rec["elapsed_s"]
             history.append(rec)
             tracker.log_epoch(rec)
             if log_file:

@@ -176,3 +176,20 @@ def test_masked_optimizer_matches_unmasked():
         lambda x, y: np.testing.assert_allclose(
             np.asarray(x), np.asarray(y), rtol=1e-4, atol=1e-5),
         a.params, b.params)
+
+
+def test_measure_mfu_epoch_records():
+    """tcfg.measure_mfu adds achieved TFLOP/s + MFU to every epoch record
+    (production telemetry of the bench's FLOPs accounting)."""
+    from raindrop_tpu.config import TrainConfig, dataset_config
+    from raindrop_tpu.data.datasets import synthetic_split
+    from raindrop_tpu.train.trainer import Trainer
+
+    cfg = dataset_config("P19", max_len=8)
+    split = synthetic_split("P19", n=64, seed=0, T=8)
+    tcfg = TrainConfig(dataset="P19", num_epochs=2, batch_size=16,
+                       measure_mfu=True)
+    res = Trainer(cfg, tcfg).train_split(split, verbose=False)
+    for rec in res.history:
+        assert rec["train_tflops_per_sec"] > 0
+        assert 0 < rec["mfu"] < 1
