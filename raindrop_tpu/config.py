@@ -149,8 +149,11 @@ class TrainConfig:
     # Opt-in production MFU telemetry: measure the per-step model FLOPs
     # once (XLA compiled cost analysis, utils/diagnostics.compiled_flops)
     # and add achieved train_tflops_per_sec + mfu to every epoch record /
-    # tracker event. Off by default (the analysis lowers+compiles the
-    # unscanned step once per train_split).
+    # tracker event. WALL-CLOCK epoch MFU: the denominator is the whole
+    # epoch including validation, checkpointing and (first epoch) compile
+    # — the utilization a user actually gets, not the kernel-only number
+    # (bench.py reports that one). Off by default (the analysis
+    # lowers+compiles the unscanned step once per train_split).
     measure_mfu: bool = False
     checkpoint_dir: str = "checkpoints"
     log_path: Optional[str] = None        # JSONL log file
