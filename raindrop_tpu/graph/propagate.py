@@ -381,4 +381,12 @@ def alpha_pairwise_distance(alpha_all: jnp.ndarray) -> jnp.ndarray:
     a = alpha_all.astype(jnp.float32)
     sq = jnp.sum(a * a, axis=-1)
     d2 = sq[:, None] + sq[None, :] - 2.0 * (a @ a.T)
-    return jnp.mean(jnp.sqrt(jnp.maximum(d2, 0.0))).astype(alpha_all.dtype)
+    # Safe sqrt: d2 == 0 on the diagonal (and wherever two samples' alphas
+    # tie — ALWAYS, in the default complete-graph config where every
+    # sample's alpha is the shared edge weights), and sqrt'(0) = inf would
+    # NaN any run that weights this regularizer into the loss
+    # (TrainConfig.aux_loss_weight). The double-where keeps the forward
+    # exact and assigns the valid subgradient 0 at d2 <= 0.
+    pos = d2 > 0.0
+    d = jnp.where(pos, jnp.sqrt(jnp.where(pos, d2, 1.0)), 0.0)
+    return jnp.mean(d).astype(alpha_all.dtype)

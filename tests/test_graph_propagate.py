@@ -221,3 +221,24 @@ def test_beta_dense_grads_match_coo(rng_np):
     g_dense = jax.grad(loss_dense, argnums=(0, 1))((params1, params2), x)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5), g_coo, g_dense)
+
+
+def test_alpha_distance_gradient_safe_at_ties():
+    """sqrt'(0) must not NaN the regularizer's gradient: the pairwise
+    distance is 0 on the diagonal and wherever two samples' alphas tie
+    (always, in the default config where alpha is the shared edge
+    weights); the subgradient there is 0, not inf * 0 = NaN. Any run with
+    TrainConfig.aux_loss_weight > 0 exercises this path."""
+    # all rows identical -> every pairwise distance is exactly 0
+    a_tied = jnp.ones((4, 6))
+    g = jax.grad(lambda a: alpha_pairwise_distance(a))(a_tied)
+    assert float(alpha_pairwise_distance(a_tied)) == 0.0
+    assert np.all(np.isfinite(np.asarray(g)))
+    np.testing.assert_array_equal(np.asarray(g), 0.0)
+    # mixed ties + distinct rows: finite grads, forward matches naive
+    a = jnp.asarray([[1.0, 2.0], [1.0, 2.0], [3.0, -1.0]])
+    g2 = jax.grad(lambda a: alpha_pairwise_distance(a))(a)
+    assert np.all(np.isfinite(np.asarray(g2)))
+    naive = np.mean([np.linalg.norm(np.asarray(a)[i] - np.asarray(a)[j])
+                     for i in range(3) for j in range(3)])
+    assert float(alpha_pairwise_distance(a)) == pytest.approx(naive, rel=1e-6)
