@@ -296,31 +296,47 @@ def bench_serve(dataset="P19", n_single=100, batch=128):
                                      for _ in range(stream_rounds))):
         pass
     stream16_dt = time.perf_counter() - t0
-    # saturated concurrency: many client threads hammering submit() with
-    # small requests; the micro-batching queue coalesces them into shared
-    # bucketed launches (launch count << request count)
+    # saturated concurrency: many open-loop clients hammering the
+    # micro-batching queue with small requests (each keeps `depth`
+    # requests in flight via submit_async — the standard capacity-test
+    # shape; strictly synchronous clients would serialize every round on
+    # the readback RTT no matter how well the server coalesces). The
+    # batcher coalesces into shared bucketed launches (launch count <<
+    # request count) and pipelines launch/fetch across groups.
     import threading
-    n_threads, per_thread, req_n = 16, 12, 8
+    n_threads, per_thread, req_n, depth = 16, 12, 8, 4
     small_reqs = [mk(req_n) for _ in range(n_threads)]
-    srv.submit(*small_reqs[0])  # warm the batcher + small-bucket path
-    launches0 = srv.stats["batches"]
-    barrier = threading.Barrier(n_threads)
 
-    def hammer(i):
+    def hammer(server, i, barrier):
         barrier.wait()
+        pending = []
         for _ in range(per_thread):
-            srv.submit(*small_reqs[i])
+            pending.append(server.submit_async(*small_reqs[i]))
+            if len(pending) >= depth:
+                pending.pop(0).result()
+        for f in pending:
+            f.result()
 
-    threads = [threading.Thread(target=hammer, args=(i,))
-               for i in range(n_threads)]
-    t0 = time.perf_counter()
-    for th in threads:
-        th.start()
-    for th in threads:
-        th.join()
-    conc_dt = time.perf_counter() - t0
+    def run_hammer(server):
+        server.submit(*small_reqs[0])   # warm batcher + small-bucket path
+        launches0 = server.stats["batches"]
+        barrier = threading.Barrier(n_threads)
+        threads = [threading.Thread(target=hammer, args=(server, i, barrier))
+                   for i in range(n_threads)]
+        t0 = time.perf_counter()
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        return (time.perf_counter() - t0,
+                server.stats["batches"] - launches0)
+
+    conc_dt, conc_launches = run_hammer(srv)
     n_requests = n_threads * per_thread
-    conc_launches = srv.stats["batches"] - launches0
+    # same hammer over the bf16-wire server: half the H2D bytes per
+    # coalesced launch — the throughput tier when the link is
+    # bandwidth-bound
+    conc16_dt, _ = run_hammer(srv16)
     return {"serve_p50_ms": float(np.percentile(lats, 50)),
             "serve_p99_ms": float(np.percentile(lats, 99)),
             "serve_b128_samples_per_sec": rounds * batch / dt,
@@ -329,6 +345,8 @@ def bench_serve(dataset="P19", n_single=100, batch=128):
                 stream_rounds * batch / stream16_dt,
             "serve_concurrent_samples_per_sec":
                 n_requests * req_n / conc_dt,
+            "serve_concurrent_bf16_samples_per_sec":
+                n_requests * req_n / conc16_dt,
             "serve_concurrent_coalesce_ratio":
                 n_requests / max(conc_launches, 1)}
 
@@ -495,6 +513,7 @@ if __name__ == "__main__":
                             "serve_stream_samples_per_sec",
                             "serve_stream_bf16_samples_per_sec",
                             "serve_concurrent_samples_per_sec",
+                            "serve_concurrent_bf16_samples_per_sec",
                             "serve_concurrent_coalesce_ratio"))
     rnd = lambda v, n=2: None if v is None else round(v, n)  # noqa: E731
     print(json.dumps({
@@ -531,6 +550,8 @@ if __name__ == "__main__":
             serve["serve_stream_bf16_samples_per_sec"]),
         "serve_concurrent_samples_per_sec": rnd(
             serve["serve_concurrent_samples_per_sec"]),
+        "serve_concurrent_bf16_samples_per_sec": rnd(
+            serve["serve_concurrent_bf16_samples_per_sec"]),
         "serve_concurrent_coalesce_ratio": rnd(
             serve["serve_concurrent_coalesce_ratio"], 1),
         "backend": r["backend"],

@@ -150,7 +150,8 @@ def make_baseline(name: str, cfg: RaindropConfig, hp: dict = None
             # mTAND normalizes timelines to [0, 1] by the 48h max
             # (reference mTAND/utils.py:516-518)
             t01 = tm.transpose(1, 0) / 48.0
-            return mtand_apply(p, x, t01, train=train, rng=rng)
+            return mtand_apply(p, x, t01, num_heads=num_heads,
+                               train=train, rng=rng)
 
         return init, apply
 

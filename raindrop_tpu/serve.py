@@ -95,6 +95,15 @@ class InferenceServer:
         self._submit_q: "queue.Queue" = queue.Queue()
         self._batcher_thread: Optional[threading.Thread] = None
         self._closed = False
+        # Pipelined micro-batching: the batcher thread only DISPATCHES
+        # launches (async in JAX); the device->host fetch + future
+        # resolution runs on this pool so the ~25 ms tunnel RTT of group k
+        # overlaps the accumulation + launch of group k+1 instead of
+        # serializing the whole submit() path (round-4 bench: coalescing
+        # 16x but zero throughput gain — the batcher fetched inline).
+        self._pipeline_depth = 4
+        self._fetch_pool = None
+        self._inflight = threading.Semaphore(self._pipeline_depth)
 
         model_dtype = jnp.dtype(cfg.dtype)
 
@@ -166,31 +175,51 @@ class InferenceServer:
         observable in stats: coalesced_launches counts device launches,
         coalesced_requests the requests they served.
         """
-        from concurrent.futures import Future
-
-        if self._closed:
-            raise RuntimeError("server closed")
-        self._ensure_batcher()
-        fut: "Future" = Future()
         t0 = time.perf_counter()
-        self._submit_q.put((np.asarray(P), np.asarray(times),
-                            None if static is None else np.asarray(static),
-                            fut))
-        out = fut.result(timeout)
+        out = self.submit_async(P, times, static).result(timeout)
         with self._lock:
             self.stats["requests"] += 1
-            self.stats["samples"] += P.shape[0]
             self.stats["latency_ms_sum"] += 1e3 * (time.perf_counter() - t0)
         return out
 
-    def _ensure_batcher(self):
+    def submit_async(self, P: np.ndarray, times: np.ndarray,
+                     static: Optional[np.ndarray] = None):
+        """Open-loop variant of submit(): enqueue the request and return
+        its `concurrent.futures.Future` immediately. A client keeping a
+        few requests in flight (submit_async + deferred .result()) lets
+        the batcher's launch/fetch pipeline run full — with strictly
+        synchronous clients every round still serializes on the readback
+        RTT because nothing is queued while callers block. Counts toward
+        `samples` (here) and `batches` (at launch); `requests` and the
+        latency SLO remain defined over synchronous submit()/predict()
+        calls, as for predict_stream."""
+        from concurrent.futures import Future
+
+        fut: "Future" = Future()
+        item = (np.asarray(P), np.asarray(times),
+                None if static is None else np.asarray(static), fut)
+        # closed-check + enqueue under the lock: close() flips _closed and
+        # enqueues its drain sentinel under the same lock, so no request
+        # can slip in behind the sentinel and strand its caller forever.
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("server closed")
+            self._ensure_batcher_locked()
+            self.stats["samples"] += item[0].shape[0]
+            self._submit_q.put(item)
+        return fut
+
+    def _ensure_batcher_locked(self):
+        """Start the batcher thread + fetch pool (caller holds self._lock)."""
         if self._batcher_thread is None or not self._batcher_thread.is_alive():
-            with self._lock:
-                if (self._batcher_thread is None
-                        or not self._batcher_thread.is_alive()):
-                    self._batcher_thread = threading.Thread(
-                        target=self._batcher_loop, daemon=True)
-                    self._batcher_thread.start()
+            if self._fetch_pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+                self._fetch_pool = ThreadPoolExecutor(
+                    max_workers=self._pipeline_depth,
+                    thread_name_prefix="serve-fetch")
+            self._batcher_thread = threading.Thread(
+                target=self._batcher_loop, daemon=True)
+            self._batcher_thread.start()
 
     @staticmethod
     def _compat_key(item):
@@ -237,7 +266,7 @@ class InferenceServer:
                     break
                 group.append(item)
                 n_total += item[0].shape[0]
-            self._run_group(group)
+            self._dispatch_group(group)
 
     def _run_batches(self, P, times, static):
         """Shared bucketed launch loop: chunk to the top bucket, launch,
@@ -246,6 +275,8 @@ class InferenceServer:
         never silently diverge."""
         top = self.buckets[-1]
         n = P.shape[0]
+        if n == 0:  # zero-row request: nothing to launch, nothing to fetch
+            return np.zeros((0, self.cfg.n_classes), np.float32), 0
         outs = []
         n_launches = 0
         for start in range(0, n, top):
@@ -253,24 +284,66 @@ class InferenceServer:
             probs = self._launch_chunk(
                 P[chunk], times[chunk],
                 None if static is None else static[chunk])
-            outs.append(np.asarray(jax.device_get(probs))
-                        [:chunk.stop - chunk.start])
+            outs.append(self._fetch(probs)[:chunk.stop - chunk.start])
             n_launches += 1
         return np.concatenate(outs), n_launches
 
-    def _run_group(self, group):
+    def _fetch(self, dev) -> np.ndarray:
+        """Device->host readback of one launched bucket (the ~25 ms RTT on
+        tunneled backends). A method so tests can instrument the cost."""
+        return np.asarray(jax.device_get(dev))
+
+    def _dispatch_group(self, group):
         """One coalesced launch set: concatenate the group's (shape-
-        compatible) tensors, run bucketed chunks, slice results back to
-        each caller's future."""
+        compatible) tensors and DISPATCH the bucketed launches; the fetch
+        + per-caller future resolution runs on the fetch pool so the next
+        group's accumulation/launch overlaps this group's readback RTT.
+        In-flight groups are bounded by `_pipeline_depth` (semaphore) so a
+        slow fetch stage backpressures the batcher instead of piling up
+        device buffers."""
         try:
-            P = np.concatenate([g[0] for g in group])
-            times = np.concatenate([g[1] for g in group])
-            static = (np.concatenate([g[2] for g in group])
+            P = np.concatenate([g[0] for g in group if g[0].shape[0]]
+                               or [group[0][0]])
+            times = np.concatenate([g[1] for g in group if g[0].shape[0]]
+                                   or [group[0][1]])
+            static = (np.concatenate([g[2] for g in group if g[0].shape[0]]
+                                     or [group[0][2]])
                       if group[0][2] is not None else None)
-            all_probs, n_launches = self._run_batches(P, times, static)
+            n = P.shape[0]
+            if n == 0:
+                empty = np.zeros((0, self.cfg.n_classes), np.float32)
+                for g in group:
+                    g[3].set_result(empty)
+                return
+            self._inflight.acquire()
+            try:
+                top = self.buckets[-1]
+                launches = []
+                for start in range(0, n, top):
+                    chunk = slice(start, min(start + top, n))
+                    dev = self._launch_chunk(
+                        P[chunk], times[chunk],
+                        None if static is None else static[chunk])
+                    launches.append((dev, chunk.stop - chunk.start))
+                self._fetch_pool.submit(self._finish_group, group, launches)
+            except BaseException:
+                self._inflight.release()
+                raise
+        except BaseException as e:  # noqa: BLE001 — deliver to callers
+            self._fail_or_retry(group, e)
+
+    def _finish_group(self, group, launches):
+        """Fetch stage (pool thread): read back each launched bucket,
+        slice results to the callers' futures, account stats."""
+        try:
+            try:
+                outs = [self._fetch(dev)[:rows] for dev, rows in launches]
+            finally:
+                self._inflight.release()
+            all_probs = np.concatenate(outs)
             with self._lock:
-                self.stats["batches"] += n_launches
-                self.stats["coalesced_launches"] += n_launches
+                self.stats["batches"] += len(launches)
+                self.stats["coalesced_launches"] += len(launches)
                 self.stats["coalesced_requests"] += len(group)
             off = 0
             for g in group:
@@ -278,21 +351,47 @@ class InferenceServer:
                 g[3].set_result(all_probs[off:off + k])
                 off += k
         except BaseException as e:  # noqa: BLE001 — deliver to callers
-            for g in group:
-                if not g[3].done():
-                    g[3].set_exception(e)
+            self._fail_or_retry(group, e)
+
+    def _fail_or_retry(self, group, err):
+        """A coalesced launch failed as a unit. A data-dependent failure
+        must not 400 every rider in the group: retry members individually
+        (each through the sequential path) so only the offending
+        request(s) see the error. A singleton group fails directly."""
+        if len(group) == 1:
+            if not group[0][3].done():
+                group[0][3].set_exception(err)
+            return
+        for g in group:
+            if g[3].done():
+                continue
+            try:
+                probs, n_launches = self._run_batches(g[0], g[1], g[2])
+                with self._lock:
+                    self.stats["batches"] += n_launches
+                g[3].set_result(probs)
+            except BaseException as e:  # noqa: BLE001
+                g[3].set_exception(e)
 
     def close(self):
         """Stop the batcher thread. In-flight and already-queued requests
-        are completed (the batcher drains before exiting); anything that
-        races into the queue after the drain fails with 'server closed'
-        rather than hanging its caller forever."""
-        self._closed = True
-        self._submit_q.put(None)
+        are completed (the batcher drains, then the fetch pool is joined);
+        anything that races into the queue after the drain fails with
+        'server closed' rather than hanging its caller forever."""
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+            # the sentinel lands AFTER every successfully-submitted item
+            # (submit() enqueues under this same lock)
+            self._submit_q.put(None)
         t = self._batcher_thread
         if t is not None and t.is_alive():
             t.join(timeout=10.0)
-        # fail anything stranded behind the sentinel (post-drain racers)
+        if self._fetch_pool is not None:
+            self._fetch_pool.shutdown(wait=True)
+        # fail anything stranded behind the sentinel (defensive only —
+        # the locked submit() makes this unreachable in normal operation)
         while True:
             try:
                 item = self._submit_q.get_nowait()
@@ -344,7 +443,7 @@ class InferenceServer:
                 # (health()) is defined over synchronous predict() calls,
                 # and a pipelined batch has no per-request latency of its
                 # own — inflating the denominator would deflate the SLO
-                inflight.append((pool.submit(np.asarray, dev), n))
+                inflight.append((pool.submit(self._fetch, dev), n))
                 with self._lock:
                     self.stats["samples"] += n
                     self.stats["batches"] += 1
