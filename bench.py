@@ -86,8 +86,14 @@ def bench_train_step(dataset="P19", batch_size=128, iters=20, warmup=3,
     # Benching unmasked Adam would charge the step for moment/update HBM
     # traffic on dead weights that no real run (ours or the reference's)
     # ever pays: measured 17.4 -> 12.2 ms on the PAM config.
-    opt = optax.masked(optax.adam(1e-4), raindrop_param_mask(cfg))
+    param_mask = raindrop_param_mask(cfg)
+    opt = optax.masked(optax.adam(1e-4), param_mask)
     opt_state = opt.init(params)
+    # dead leaves pass through as identity (aliased with the donated
+    # input) — adding even a zero update forces a relayout copy of the
+    # dead 184 MB increase_dim weights at PAM dims (train/trainer.py:
+    # apply_updates_masked)
+    from raindrop_tpu.train.trainer import apply_updates_masked
 
     def one_step(params, opt_state, key):
         def loss_fn(p):
@@ -100,7 +106,8 @@ def bench_train_step(dataset="P19", batch_size=128, iters=20, warmup=3,
                 logits, y).mean()
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(grads, opt_state)
-        return optax.apply_updates(params, updates), opt_state, loss
+        return (apply_updates_masked(params, updates, param_mask),
+                opt_state, loss)
 
     step = jax.jit(one_step, donate_argnums=(0, 1))
 

@@ -169,6 +169,18 @@ class TrainConfig:
     # split — the mTAND per-run resplit protocol
     # (code/baselines/mTAND/mTAND_baseline.py:72-88 + utils.get_data)
     resplit_per_run: bool = False
+    # Scale-out routes for the flagship model over the Trainer's mesh
+    # 'model' axis (parallel/; requires a mesh with n_model > 1):
+    #   context_parallel: 'none' | 'sp' (all-gather K/V) | 'ring'
+    #     (ppermute K/V rotation) — the temporal attention's T axis
+    #     shards across devices (SURVEY.md §5.7 long-context slot);
+    #   pipeline_microbatches > 0: encoder layers run as GPipe stages
+    #     (one layer per 'model'-axis device) with that many microbatches;
+    #   edge_partition: the propagation layer's edge set shards across
+    #     'model' with psum/pmax combines (graph tensor parallelism).
+    context_parallel: str = "none"
+    pipeline_microbatches: int = 0
+    edge_partition: bool = False
 
 
 # Per-dataset presets, reference code/Raindrop.py:109-148.

@@ -210,6 +210,7 @@ def ob_propagate_dense_complete(
     dropout_rate: float = 0.0,
     rng=None,
     train: bool = False,
+    uniform: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched complete-graph fast path (use_beta=False only).
 
@@ -220,18 +221,30 @@ def ob_propagate_dense_complete(
     (tested), but one fused MXU-friendly op for the whole batch, replacing
     the reference's per-sample Python loop (code/models_rd.py:322-343).
 
+    uniform=True asserts the caller's weights are ALL-ONES (the shipped
+    default, code/Raindrop.py:212): the softmax over equal weights is
+    exactly uniform and sums to 1 over sources, so (absent softmax-weight
+    dropout) the scale pass is the identity — out IS relu(lin_value(x)),
+    and the [B, n, D] rescale pass over the (53 MB at PAM dims) message
+    tensor is skipped. Verified against the general path in
+    tests/test_graph_propagate.py.
+
     Returns (out [B, n, D], alpha [B, n*n]) with alpha flattened in
     torch.nonzero row-major (source-major) order for the layer-2 handoff and
     the distance regularizer (code/models_rd.py:343-346).
     """
     B = x.shape[0]
+    msg = jax.nn.relu(linear_apply(params["lin_value"], x))  # [B, n, D]
+    if uniform and not (train and dropout_rate > 0.0):
+        n = x.shape[1]
+        alpha = jnp.ones((B, n * n), x.dtype)
+        return msg, alpha
     if adj_weights.ndim == 2:
         adj_weights = jnp.broadcast_to(adj_weights[None], (B,) + adj_weights.shape)
     # softmax over sources for each target: axis 1 of w[b, s, t]
     g = jax.nn.softmax(adj_weights, axis=1)
     g = _dropout(rng, g, dropout_rate, train)
     scale = jnp.sum(g, axis=1)                               # [B, n_tgt]
-    msg = jax.nn.relu(linear_apply(params["lin_value"], x))  # [B, n, D]
     out = msg * scale[..., None]
     alpha = adj_weights.reshape(B, -1)                       # pre-softmax, row-major
     return out, alpha

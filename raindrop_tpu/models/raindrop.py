@@ -154,8 +154,24 @@ def raindrop_apply(
     train: bool = False,
     rng=None,
     global_adj: Optional[jnp.ndarray] = None,  # [F, F] edge weights; default ones
+    mesh=None,                      # for the scale-out routes below
+    context_parallel: str = "none",  # 'none' | 'sp' | 'ring': shard the
+                                     # temporal attention's T axis over the
+                                     # mesh 'model' axis (parallel/sequence.py)
+    pipeline_parallel: int = 0,      # microbatches > 0: run the encoder
+                                     # layers as GPipe stages over 'model'
+                                     # (parallel/pipeline.py)
+    edge_partition: bool = False,    # shard the propagation edge set over
+                                     # 'model' (parallel/edge_partition.py)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Forward pass. Returns (logits [B, n_classes], distance scalar)."""
+    if context_parallel != "none" and pipeline_parallel:
+        raise ValueError("context_parallel and pipeline_parallel both "
+                         "claim the temporal transformer; pick one")
+    if (context_parallel != "none" or pipeline_parallel or edge_partition) \
+            and mesh is None:
+        raise ValueError("scale-out routes need a mesh "
+                         "(parallel.make_mesh(n_data, n_model))")
     F_, d_ob, T = cfg.d_inp, cfg.d_ob, cfg.max_len
     dtype = jnp.dtype(cfg.dtype)
     if cfg.compute_dtype is not None and cfg.compute_dtype != cfg.dtype:
@@ -190,7 +206,38 @@ def raindrop_apply(
     dense_ok = global_adj is None and cfg.prop_backend != "coo"
     pallas_ok = (cfg.prop_backend == "pallas" and not cfg.use_beta
                  and not (train and cfg.prop_dropout > 0.0))
-    if pallas_ok:
+    ep_ok = (edge_partition and not cfg.use_beta
+             and not (train and cfg.prop_dropout > 0.0))
+    if ep_ok:
+        # Edge-partitioned aggregation (parallel/edge_partition.py): the
+        # shared-topology edge set shards over the mesh 'model' axis; each
+        # device segment-softmaxes its edge shard and psum/pmax combine
+        # over ICI. Same two-layer semantics as the Pallas/dense paths
+        # (x_i messages, pre-softmax alpha handoff). Softmax-weight
+        # dropout falls through to the XLA paths like prop_backend=pallas.
+        from raindrop_tpu.parallel.edge_partition import (
+            spmm_segment_softmax_sharded)
+
+        ei, edge_weights = _edge_list(F_, global_adj, dtype)
+        n_model = mesh.shape["model"]
+        if ei.shape[1] % n_model:
+            raise ValueError(
+                f"edge count {ei.shape[1]} must divide the mesh 'model' "
+                f"axis size {n_model} for edge partitioning")
+        gamma = jnp.broadcast_to(
+            edge_weights[None].astype(jnp.float32), (B, ei.shape[1]))
+        v1 = jax.nn.relu(linear_apply(params["ob_propagation"]["lin_value"],
+                                      x_nodes)).astype(jnp.float32)
+        out1, _ = spmm_segment_softmax_sharded(
+            mesh, v1, gamma, ei[0], ei[1], gather_target=True)
+        v2 = jax.nn.relu(linear_apply(
+            params["ob_propagation_layer2"]["lin_value"],
+            out1.astype(dtype))).astype(jnp.float32)
+        out2, _ = spmm_segment_softmax_sharded(
+            mesh, v2, gamma, ei[0], ei[1], gather_target=True)
+        out2 = out2.astype(dtype)
+        alpha_all = gamma.astype(dtype)                    # pre-softmax alpha
+    elif pallas_ok:
         # Fused Pallas SpMM + segment-softmax backend (ops/sparse_pallas.py)
         # for GENERAL shared-topology graphs — complete or custom global_adj
         # alike. Each layer is the use_beta=False Ob_propagation step:
@@ -219,15 +266,21 @@ def raindrop_apply(
         alpha_all = gamma.astype(dtype)                    # pre-softmax alpha
     elif dense_ok and not cfg.use_beta:
         # Complete all-ones graph (code/Raindrop.py:212): dense fast path.
+        # the shipped adjacency is all-ones (code/Raindrop.py:212) and the
+        # layer-2 weights are layer-1's PRE-softmax alpha == those same
+        # ones, so both layers take the uniform fast path (exact identity
+        # absent softmax-weight dropout; see ob_propagate_dense_complete)
         adj = jnp.ones((F_, F_), dtype)
         out1, alpha1 = ob_propagate_dense_complete(
             params["ob_propagation"], x_nodes, adj,
-            dropout_rate=cfg.prop_dropout, rng=r_prop1, train=train)
+            dropout_rate=cfg.prop_dropout, rng=r_prop1, train=train,
+            uniform=True)
         # layer-2 edge weights are layer-1's pre-softmax alpha == adj weights
         adj2 = alpha1.reshape(B, F_, F_)
         out2, alpha2 = ob_propagate_dense_complete(
             params["ob_propagation_layer2"], out1, adj2,
-            dropout_rate=cfg.prop_dropout, rng=r_prop2, train=train)
+            dropout_rate=cfg.prop_dropout, rng=r_prop2, train=train,
+            uniform=True)
         alpha_all = alpha2                                  # [B, F*F]
     elif dense_ok and cfg.use_beta:
         # β/edge-pruning capability path, batched dense formulation —
@@ -274,11 +327,24 @@ def raindrop_apply(
 
     # --- temporal transformer (code/models_rd.py:356-358) ---
     mask = padding_mask(lengths, T)                        # [B, T] True = pad
-    r_out = transformer_encoder_apply(
-        params["transformer_encoder"], output, mask, cfg.nhead,
-        dropout_rate=cfg.dropout, rng=r_trans, train=train,
-        backend=cfg.attention_backend,
-        score_dtype=cfg.attention_score_dtype)
+    if pipeline_parallel:
+        # GPipe product route: one encoder layer per 'model'-axis stage
+        # (parallel/pipeline.py), `pipeline_parallel` microbatches
+        from raindrop_tpu.parallel.pipeline import (
+            pipeline_transformer_encoder)
+
+        r_out = pipeline_transformer_encoder(
+            mesh, params["transformer_encoder"], output, mask, cfg.nhead,
+            pipeline_parallel, axis="model",
+            dropout_rate=cfg.dropout, rng=r_trans, train=train)
+    else:
+        backend = (context_parallel if context_parallel != "none"
+                   else cfg.attention_backend)
+        r_out = transformer_encoder_apply(
+            params["transformer_encoder"], output, mask, cfg.nhead,
+            dropout_rate=cfg.dropout, rng=r_trans, train=train,
+            backend=backend,
+            score_dtype=cfg.attention_score_dtype, mesh=mesh)
 
     # --- masked aggregation (code/models_rd.py:364-379) ---
     if cfg.sensor_wise_mask:

@@ -66,8 +66,9 @@ def multihead_self_attention(
     dropout_rate: float = 0.0,
     rng=None,
     train: bool = False,
-    backend: str = "auto",          # 'auto' | 'dense' | 'flash'
+    backend: str = "auto",          # 'auto' | 'dense' | 'flash' | 'sp' | 'ring'
     score_dtype: Optional[str] = "bfloat16",  # flash kernel operand dtype
+    mesh=None,                      # for the distributed backends
 ) -> jnp.ndarray:
     B, T, d = x.shape
     hd = d // nhead
@@ -76,6 +77,30 @@ def multihead_self_attention(
 
     def heads(t):  # [B, T, d] -> [B, nhead, T, hd]
         return t.reshape(B, T, nhead, hd).transpose(0, 2, 1, 3)
+
+    if backend in ("sp", "ring"):
+        # Context-parallel product route (parallel/sequence.py): the T
+        # axis shards over the mesh 'model' axis — 'sp' all-gathers K/V
+        # (Ulysses-style), 'ring' rotates K/V blocks via ppermute with the
+        # online-softmax fold. Attention-prob dropout uses the sharding-
+        # invariant coordinate hash (its own stream — dropout masks differ
+        # between attention backends by construction, like flash vs dense).
+        from raindrop_tpu.parallel.sequence import (
+            ring_attention, sequence_parallel_attention)
+
+        if mesh is None:
+            raise ValueError(f"backend {backend!r} needs a mesh")
+        lengths = (jnp.full((B,), T, jnp.int32) if key_padding_mask is None
+                   else jnp.sum(~key_padding_mask, axis=1).astype(jnp.int32))
+        rate = dropout_rate if (train and rng is not None) else 0.0
+        seed = (jax.random.randint(rng, (1,), 0, 2 ** 31 - 1, jnp.int32)
+                if rate > 0.0 else None)
+        fn = (sequence_parallel_attention if backend == "sp"
+              else ring_attention)
+        out = fn(mesh, heads(q), heads(k), heads(v), lengths,
+                 dropout_rate=rate, seed=seed)
+        out = out.transpose(0, 2, 1, 3).reshape(B, T, d)
+        return linear_apply(p["out_proj"], out)
 
     if backend == "auto":
         # The packed-heads Pallas kernel wins once the T x T score matrix
@@ -136,16 +161,41 @@ def transformer_encoder_layer_apply(
     train: bool = False,
     backend: str = "auto",
     score_dtype: Optional[str] = "bfloat16",
+    mesh=None,
 ) -> jnp.ndarray:
     """One post-LN encoder layer (torch TransformerEncoderLayer semantics).
 
     Factored out of the encoder loop so pipeline parallelism
     (parallel/pipeline.py) can run each layer as a pipeline stage.
+
+    backend 'fused_layer' (and 'auto' on TPU in the flash regime,
+    128 <= T <= MAX_FUSED_T) runs the ENTIRE layer as one Pallas program
+    per sample (ops/fused_encoder.py) — qkv projection, attention,
+    out-proj, residual dropouts, both LayerNorms and the FFN never leave
+    VMEM. Same math as this function's unfused path (tested); dropout
+    uses the hardware-PRNG stream like the flash kernels.
     """
     r = rngs if rngs is not None else [None] * 4
+    B, T, d = x.shape
+    from raindrop_tpu.ops.flash_attention import MAX_FUSED_T
+    use_fused = d % nhead == 0 and (
+        backend == "fused_layer"
+        or (backend == "auto" and jax.default_backend() == "tpu"
+            and T >= 128 and -(-T // 8) * 8 <= MAX_FUSED_T))
+    if use_fused:
+        from raindrop_tpu.ops.fused_encoder import fused_encoder_layer
+
+        lengths = (jnp.full((B,), T, jnp.int32) if key_padding_mask is None
+                   else jnp.sum(~key_padding_mask, axis=1).astype(jnp.int32))
+        rate = dropout_rate if (train and r[0] is not None) else 0.0
+        seed = (jax.random.randint(r[0], (1,), 0, 2 ** 31 - 1, jnp.int32)
+                if rate > 0.0 else None)
+        cd = (None if score_dtype in (None, "float32")
+              else str(score_dtype))
+        return fused_encoder_layer(p, x, lengths, seed, rate, cd, nhead)
     attn = multihead_self_attention(
         p, x, key_padding_mask, nhead, dropout_rate, r[0], train, backend,
-        score_dtype)
+        score_dtype, mesh)
     x = _layer_norm(p["ln1"], x + _dropout(r[1], attn, dropout_rate, train))
     h = jax.nn.relu(linear_apply(p["lin1"], x))
     h = _dropout(r[2], h, dropout_rate, train)
@@ -163,6 +213,7 @@ def transformer_encoder_apply(
     train: bool = False,
     backend: str = "auto",
     score_dtype: Optional[str] = "bfloat16",
+    mesh=None,
 ) -> jnp.ndarray:
     num_layers = len(params)
     rngs = (jax.random.split(rng, 4 * num_layers)
@@ -170,5 +221,5 @@ def transformer_encoder_apply(
     for i in range(num_layers):
         x = transformer_encoder_layer_apply(
             params[f"layer{i}"], x, key_padding_mask, nhead, dropout_rate,
-            rngs[4 * i: 4 * i + 4], train, backend, score_dtype)
+            rngs[4 * i: 4 * i + 4], train, backend, score_dtype, mesh)
     return x

@@ -560,9 +560,22 @@ def _head_mask(d, h, hd, ref_dtype):
     return ((lane >= h * hd) & (lane < (h + 1) * hd)).astype(ref_dtype)
 
 
+LOG2E = 1.4426950408889634
+
+
 def _packed_fwd_kernel(seed_ref, lengths_ref, q_ref, k_ref, v_ref,
                        o_ref, lse_ref, *, scale, dropout_rate, t, nhead,
                        hw_prng):
+    # Softmax runs in BASE 2 with log2(e) folded into the score scale:
+    # exp lowers to exp2+multiply on the VPU, and this kernel is VPU-bound
+    # at head_dim 42 — pre-folding removes one multiply pass over every
+    # [T, T] score element. The saved lse is in base-2 units (consumed
+    # only by _packed_bwd_kernel, same convention).
+    #
+    # Masking economics: only K (and V) need the head-lane mask — q's
+    # other-head lanes hit k's zeroed lanes in the dot, so (q)·(k*m_h)
+    # already contracts over exactly head h's channels; each head's PV
+    # lands in its own column range because v is masked.
     b = pl.program_id(0)
     length = lengths_ref[b]
     d = q_ref.shape[-1]
@@ -572,14 +585,15 @@ def _packed_fwd_kernel(seed_ref, lengths_ref, q_ref, k_ref, v_ref,
     v = v_ref[0]
     bias = _col_bias(length, t)
     valid = length > 0
+    scale2 = scale * LOG2E
     o = jnp.zeros(q.shape, jnp.float32)
     for h in range(nhead):
         m_h = _head_mask(d, h, hd, q.dtype)
-        s = jax.lax.dot_general(q * m_h, k * m_h, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+        s = jax.lax.dot_general(q, k * m_h, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale2
         s = s + bias
         mx = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - mx)
+        p = jnp.exp2(s - mx)
         l = jnp.sum(p, axis=1, keepdims=True)
         if dropout_rate > 0.0:
             keep = _dropout_keep(seed_ref, b * nhead + h, 0, 0, (t, t),
@@ -588,7 +602,7 @@ def _packed_fwd_kernel(seed_ref, lengths_ref, q_ref, k_ref, v_ref,
         o = o + jax.lax.dot_general(
             p.astype(v.dtype), v * m_h, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) / l
-        lse_ref[0, h, :] = jnp.where(valid, mx[:, 0] + jnp.log(l[:, 0]),
+        lse_ref[0, h, :] = jnp.where(valid, mx[:, 0] + jnp.log2(l[:, 0]),
                                      NEG_INF)
     o_ref[0] = jnp.where(valid, o, 0.0)
 
@@ -607,19 +621,21 @@ def _packed_bwd_kernel(seed_ref, lengths_ref, q_ref, k_ref, v_ref, do_ref,
     bias = _col_bias(length, t)
     validf = (length > 0).astype(jnp.float32)
     od = v_ref.dtype
+    scale2 = scale * LOG2E
     dq = jnp.zeros(q.shape, jnp.float32)
     dk = jnp.zeros(q.shape, jnp.float32)
     dv = jnp.zeros(q.shape, jnp.float32)
     for h in range(nhead):
         m_h = _head_mask(d, h, hd, q.dtype)
+        qh = q * m_h          # needed only to PLACE dk in head h's lanes
         kh = k * m_h
         vh = v * m_h
         doh = (do * m_h.astype(do.dtype)).astype(od)
-        lse = lse_ref[0, h, :][:, None]
+        lse = lse_ref[0, h, :][:, None]       # base-2 (fwd convention)
         delta = delta_ref[0, h, :][:, None]
-        s = jax.lax.dot_general(q * m_h, kh, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        p = jnp.exp(s + bias - lse)
+        s = jax.lax.dot_general(q, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale2
+        p = jnp.exp2(s + bias - lse)
         dp = jax.lax.dot_general(doh, vh, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         if dropout_rate > 0.0:
@@ -634,7 +650,7 @@ def _packed_bwd_kernel(seed_ref, lengths_ref, q_ref, k_ref, v_ref, do_ref,
             ds, kh, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dk = dk + jax.lax.dot_general(
-            ds, q * m_h, (((0,), (0,)), ((), ())),
+            ds, qh, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dv = dv + jax.lax.dot_general(
             p_drop.astype(od), doh, (((0,), (0,)), ((), ())),

@@ -126,9 +126,16 @@ def pipeline_transformer_encoder(
     n_microbatches: int,
     axis: str = "pipe",
     backend: str = "dense",
+    dropout_rate: float = 0.0,
+    rng=None,
+    train: bool = False,
 ) -> jnp.ndarray:
     """The temporal transformer (nn/transformer.py) as a layer-per-stage
-    pipeline. Numerically identical to transformer_encoder_apply (eval mode).
+    pipeline. Numerically identical to transformer_encoder_apply in eval
+    mode / at dropout 0; under training dropout each (stage, microbatch)
+    derives its own fold_in key — a self-consistent stream that differs
+    from the single-device backends' (the usual cross-backend dropout
+    convention).
     """
     from raindrop_tpu.nn.transformer import transformer_encoder_layer_apply
 
@@ -146,11 +153,22 @@ def pipeline_transformer_encoder(
     if key_padding_mask is None:
         key_padding_mask = jnp.zeros((B, T), bool)
     ms = key_padding_mask.reshape(M, B // M, T)
+    drop = train and rng is not None and dropout_rate > 0.0
+    # per-microbatch keys ride the pipeline as a data leaf (shard_map
+    # closures cannot capture traced values); stages fold in their index
+    keys = (jax.vmap(lambda i: jax.random.fold_in(rng, i))(jnp.arange(M))
+            if drop else jnp.zeros((M, 2), jnp.uint32))
 
     def stage_fn(p, inp):
-        h, m = inp
-        h = transformer_encoder_layer_apply(p, h, m, nhead, backend=backend)
-        return (h, m)
+        h, m, key = inp
+        rngs = None
+        if drop:
+            stage_key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+            rngs = jax.random.split(stage_key, 4)
+        h = transformer_encoder_layer_apply(
+            p, h, m, nhead, dropout_rate, rngs, drop, backend=backend)
+        return (h, m, key)
 
-    out, _ = pipeline_apply(mesh, stage_fn, stacked, (xs, ms), axis=axis)
+    out, _, _ = pipeline_apply(mesh, stage_fn, stacked, (xs, ms, keys),
+                               axis=axis)
     return out.reshape(B, T, d)

@@ -70,6 +70,23 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use N synthetic samples instead of real data")
     p.add_argument("--data-parallel", type=int, default=0,
                    help="devices on the mesh 'data' axis (0 = no mesh)")
+    p.add_argument("--model-parallel", type=int, default=1,
+                   help="devices on the mesh 'model' axis (tensor/context/"
+                        "pipeline/edge parallelism ride this axis)")
+    p.add_argument("--context-parallel", choices=["none", "sp", "ring"],
+                   default="none",
+                   help="shard the temporal attention's T axis over the "
+                        "mesh 'model' axis: 'sp' all-gathers K/V, 'ring' "
+                        "rotates K/V blocks via ppermute "
+                        "(parallel/sequence.py)")
+    p.add_argument("--pipeline-microbatches", type=int, default=0,
+                   help="run the encoder layers as GPipe stages over the "
+                        "'model' axis with N microbatches "
+                        "(parallel/pipeline.py); needs model-parallel == "
+                        "nlayers")
+    p.add_argument("--edge-partition", type=str2bool, default=False,
+                   help="shard the propagation layer's edge set over the "
+                        "'model' axis (parallel/edge_partition.py)")
     p.add_argument("--distributed", type=str2bool, default=False,
                    help="initialize the jax.distributed multi-host runtime "
                         "(TPU pods; auto-detects coordinator/process ids). "
@@ -227,9 +244,10 @@ def main(argv=None) -> int:
         missing_ratios = [args.missing_ratio]
 
     mesh = None
-    if args.data_parallel:
+    if args.data_parallel or args.model_parallel > 1:
         from raindrop_tpu.parallel import make_mesh
-        mesh = make_mesh(n_data=args.data_parallel)
+        mesh = make_mesh(n_data=args.data_parallel or None,
+                         n_model=args.model_parallel)
 
     all_results = {}
     for mr in missing_ratios:
@@ -246,7 +264,10 @@ def main(argv=None) -> int:
             measure_mfu=args.measure_mfu,
             log_path=args.log_path,
             resplit_per_run=args.resplit_per_run,
-            diag_frozen_params=args.diag_frozen_params)
+            diag_frozen_params=args.diag_frozen_params,
+            context_parallel=args.context_parallel,
+            pipeline_microbatches=args.pipeline_microbatches,
+            edge_partition=args.edge_partition)
 
         def make_split(k, _mr=mr, run=0):
             imput = (None if args.imputation == "no_imputation"

@@ -42,6 +42,24 @@ from raindrop_tpu.train.metrics import classification_metrics
 from raindrop_tpu.train.plateau import ReduceLROnPlateau
 
 
+def apply_updates_masked(params, updates, mask):
+    """optax.apply_updates that passes dead (mask=False) leaves through as
+    the ORIGINAL input arrays.
+
+    Adding even a zero update to a dead parameter makes XLA materialize a
+    fresh output buffer for it — at PAM dims the two dead 184 MB
+    `increase_dim` weights cost 2x0.57 ms of pure relayout-copy per train
+    step (xplane profile, round 5; ~15% of the step). An identity leaf is
+    aliased with the donated input instead, so the dead set costs nothing,
+    exactly like torch Adam skipping grad-None params (DEVIATIONS.md #10).
+    """
+    if mask is None:
+        return optax.apply_updates(params, updates)
+    return jax.tree.map(
+        lambda m, p, u: optax.apply_updates(p, u) if m else p,
+        mask, params, updates)
+
+
 @dataclasses.dataclass
 class TrainResult:
     test_metrics: Dict[str, float]
@@ -65,10 +83,22 @@ class Trainer:
         self.mesh = mesh
         # pluggable model (baselines reuse this trainer with their own fns)
         is_default_model = apply_fn is None
+        scale_out = (tcfg.context_parallel != "none"
+                     or tcfg.pipeline_microbatches > 0 or tcfg.edge_partition)
+        if scale_out and mesh is None:
+            raise ValueError(
+                "context_parallel/pipeline_microbatches/edge_partition "
+                "need a mesh (Trainer(..., mesh=make_mesh(n_data, n_model)))")
+        if scale_out and not is_default_model:
+            raise ValueError("scale-out routes apply to the flagship "
+                             "raindrop model only")
         self._apply = apply_fn or (
             lambda p, src, static, times, lengths, train, rng:
             raindrop_apply(p, cfg, src, static, times, lengths,
-                           train=train, rng=rng))
+                           train=train, rng=rng, mesh=mesh,
+                           context_parallel=tcfg.context_parallel,
+                           pipeline_parallel=tcfg.pipeline_microbatches,
+                           edge_partition=tcfg.edge_partition))
         self._init = init_fn or (lambda key: raindrop_init(key, cfg))
         # torch.optim.Adam skips grad-less params; mask the dead reference
         # params out of the optimizer for the same semantics (and less
@@ -116,7 +146,7 @@ class Trainer:
             (loss, (logits, _)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params, batch, rng)
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
+            params = apply_updates_masked(params, updates, mask)
             return params, opt_state, loss, logits
 
         def train_epoch(params, opt_state, data, idx, keys):

@@ -242,3 +242,26 @@ def test_alpha_distance_gradient_safe_at_ties():
     naive = np.mean([np.linalg.norm(np.asarray(a)[i] - np.asarray(a)[j])
                      for i in range(3) for j in range(3)])
     assert float(alpha_pairwise_distance(a)) == pytest.approx(naive, rel=1e-6)
+
+
+def test_dense_complete_uniform_fast_path():
+    """uniform=True (the shipped all-ones adjacency) must equal the
+    general softmax+rescale path to fp tolerance — the scale factor is
+    sum_s softmax(ones) == 1."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from raindrop_tpu.graph.propagate import (
+        ob_propagate_dense_complete, ob_propagation_init)
+
+    n, D = 7, 12
+    params = ob_propagation_init(jax.random.PRNGKey(0), D, D, n, 3)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(3, n, D))
+                    .astype(np.float32))
+    adj = jnp.ones((n, n))
+    out_g, alpha_g = ob_propagate_dense_complete(params, x, adj)
+    out_u, alpha_u = ob_propagate_dense_complete(params, x, adj,
+                                                 uniform=True)
+    np.testing.assert_allclose(np.asarray(out_u), np.asarray(out_g),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(alpha_u), np.asarray(alpha_g))
