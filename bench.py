@@ -224,19 +224,28 @@ def bench_train_step(dataset="P19", batch_size=128, iters=20, warmup=3,
         # unscanned per-step program must not contend with measurement; the
         # persistent cache makes it near-free on warm runs). ShapeDtypeStruct
         # lowering only — never touches the donated buffers.
-        from raindrop_tpu.utils.diagnostics import compiled_flops, mfu
+        from raindrop_tpu.utils.diagnostics import (
+            compiled_flops, flagship_kernel_flops, mfu)
         if out.get("samples_per_sec"):
             _log("cost analysis: train step")
             tf = compiled_flops(step, params, opt_state, key)
             if tf:
+                # cost analysis reports Pallas custom calls as ZERO flops;
+                # add the kernelized layer's theoretical flops (qkv +
+                # attention + out-proj + FFN) when the fused regime is
+                # active — reported separately for auditability
+                kf = flagship_kernel_flops(cfg, B, train=True)
+                tf += kf
                 steps_per_sec = out["samples_per_sec"] / B
                 out["train_gflops_per_step"] = tf / 1e9
+                out["kernel_gflops_analytic"] = kf / 1e9
                 out["train_tflops"] = tf * steps_per_sec / 1e12
                 out["train_mfu"] = mfu(tf * steps_per_sec)
         if out.get("eval_samples_per_sec"):
             _log("cost analysis: eval forward")
             ef = compiled_flops(eval_step, params)
             if ef:
+                ef += flagship_kernel_flops(cfg, B, train=False)
                 batches_per_sec = out["eval_samples_per_sec"] / B
                 out["eval_gflops_per_batch"] = ef / 1e9
                 out["eval_tflops"] = ef * batches_per_sec / 1e12
@@ -358,6 +367,91 @@ def bench_serve(dataset="P19", n_single=100, batch=128):
                 n_requests / max(conc_launches, 1)}
 
 
+def bench_sparse(iters=30):
+    """Sparse-topology crossover (VERDICT r4 #4): the Pallas one-hot-MXU
+    kernels vs the XLA segment/gather formulations on kNN graphs
+    (batch-shared topology, E = k*N) — the regime the kernels exist for.
+    The shipped complete graphs stay dense-formulation territory
+    (docs/PERFORMANCE.md); this measures where the claim 'Pallas for
+    sparser topologies' actually holds, fwd+bwd (training shape)."""
+    import jax
+    import jax.numpy as jnp
+    from raindrop_tpu.ops.segment import segment_softmax, segment_sum
+    from raindrop_tpu.ops.sparse_pallas import sddmm, spmm_segment_softmax
+
+    rng = np.random.default_rng(0)
+    B, N, k, D = 128, 128, 6, 240
+    E = N * k
+    src = np.concatenate(
+        [rng.choice(N, size=k, replace=False) for _ in range(N)])
+    dst = np.repeat(np.arange(N), k)
+    srcj = jnp.asarray(src.astype(np.int32))
+    dstj = jnp.asarray(dst.astype(np.int32))
+    x = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32))
+    gamma = jnp.asarray(rng.normal(size=(B, E)).astype(np.float32))
+
+    def xla_fn(x, gamma):
+        def one(xb, gb):
+            w = segment_softmax(gb, dstj, N)
+            return segment_sum(xb[srcj] * w[:, None], dstj, N)
+        return jax.vmap(one)(x, gamma)
+
+    def pallas_fn(x, gamma):
+        return spmm_segment_softmax(x, gamma, srcj, dstj, n_nodes=N)[0]
+
+    np.testing.assert_allclose(np.asarray(pallas_fn(x, gamma)),
+                               np.asarray(xla_fn(x, gamma)),
+                               rtol=1e-4, atol=1e-4)
+
+    def timed(fn):
+        def loss(x, gamma):
+            return jnp.sum(fn(x, gamma) ** 2)
+        g = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
+        out = g(x, gamma)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = g(x, gamma)
+        jax.block_until_ready(out)
+        return 1e3 * (time.perf_counter() - t0) / iters
+
+    xla_ms = timed(xla_fn)
+    pallas_ms = timed(pallas_fn)
+
+    # SDDMM (per-edge QK scores) vs XLA gathers, same topology
+    Dq = 64
+    q = jnp.asarray(rng.normal(size=(B, N, Dq)).astype(np.float32))
+    kk = jnp.asarray(rng.normal(size=(B, N, Dq)).astype(np.float32))
+
+    def sddmm_xla(q, kk):
+        return jnp.sum(q[:, dstj] * kk[:, srcj], axis=-1) * 0.125
+
+    def sddmm_pl(q, kk):
+        return sddmm(q, kk, srcj, dstj, 0.125)
+
+    np.testing.assert_allclose(np.asarray(sddmm_pl(q, kk)),
+                               np.asarray(sddmm_xla(q, kk)),
+                               rtol=1e-4, atol=1e-4)
+
+    def timed2(fn):
+        def loss(q, kk):
+            return jnp.sum(fn(q, kk) ** 2)
+        g = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
+        out = g(q, kk)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = g(q, kk)
+        jax.block_until_ready(out)
+        return 1e3 * (time.perf_counter() - t0) / iters
+
+    return {"sparse_knn_xla_ms": xla_ms,
+            "sparse_knn_pallas_ms": pallas_ms,
+            "sparse_knn_pallas_speedup": xla_ms / pallas_ms,
+            "sddmm_xla_ms": timed2(sddmm_xla),
+            "sddmm_pallas_ms": timed2(sddmm_pl)}
+
+
 def bench_torch_reference(dataset="P19", batch_size=128, iters=3):
     """Reference-architecture eval forward on torch CPU (the source of
     BASELINE_TORCH_SAMPLES_PER_SEC). Requires the tests/ package."""
@@ -440,6 +534,9 @@ if __name__ == "__main__":
     if "--serve-only" in sys.argv:
         print(json.dumps(bench_serve()))
         sys.exit(0)
+    if "--sparse-only" in sys.argv:
+        print(json.dumps(bench_sparse()))
+        sys.exit(0)
     if "--profile" in sys.argv:
         # capture an xprof trace of the steady-state scanned step
         from raindrop_tpu.utils.diagnostics import profile_trace
@@ -514,6 +611,10 @@ if __name__ == "__main__":
                         keys=("dispatched_step_ms",))["dispatched_step_ms"]
     beta = run_extra(["--use-beta-only"], keys=flop_keys)
     pallas_prop = run_extra(["--pallas-prop-only"], keys=flop_keys)
+    sparse = run_extra(["--sparse-only"],
+                       keys=("sparse_knn_xla_ms", "sparse_knn_pallas_ms",
+                             "sparse_knn_pallas_speedup",
+                             "sddmm_xla_ms", "sddmm_pallas_ms"))
     serve = run_extra(["--serve-only"],
                       keys=("serve_p50_ms", "serve_p99_ms",
                             "serve_b128_samples_per_sec",
@@ -548,6 +649,12 @@ if __name__ == "__main__":
         "use_beta_mfu": rnd(beta["train_mfu"], 4),
         "pallas_prop_train_samples_per_sec": rnd(
             pallas_prop["samples_per_sec"]),
+        "sparse_knn_xla_ms": rnd(sparse["sparse_knn_xla_ms"], 3),
+        "sparse_knn_pallas_ms": rnd(sparse["sparse_knn_pallas_ms"], 3),
+        "sparse_knn_pallas_speedup": rnd(
+            sparse["sparse_knn_pallas_speedup"], 2),
+        "sddmm_xla_ms": rnd(sparse["sddmm_xla_ms"], 3),
+        "sddmm_pallas_ms": rnd(sparse["sddmm_pallas_ms"], 3),
         "serve_p50_ms": rnd(serve["serve_p50_ms"], 3),
         "serve_p99_ms": rnd(serve["serve_p99_ms"], 3),
         "serve_b128_samples_per_sec": rnd(serve["serve_b128_samples_per_sec"]),

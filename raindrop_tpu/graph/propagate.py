@@ -176,6 +176,7 @@ def ob_propagate_selfattention(
     dropout_rate: float = 0.0,
     rng=None,
     train: bool = False,
+    score_backend: str = "xla",    # 'xla' | 'sddmm' (Pallas one-hot MXU)
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     """The reference's dormant dot-product attention message path
     (`message_selfattention`, code/Ob_propagation.py:134-155 — defined but
@@ -183,15 +184,30 @@ def ob_propagate_selfattention(
     sqrt(C) per head (overridden by edge_weights when given), segment-softmax
     over incoming edges, messages = V(x_j) * alpha, scatter-add by target.
     Returns (out [n_nodes, heads*C], (edge_index, alpha POST-softmax)).
+
+    score_backend='sddmm' computes the per-edge Q·K scores with the Pallas
+    one-hot-MXU SDDMM kernel (ops/sparse_pallas.sddmm) instead of XLA
+    gathers — the opt-in for large sparse topologies where [E, D] edge
+    gathers dominate (measured crossover: docs/PERFORMANCE.md).
     """
     if n_nodes is None:
         n_nodes = x.shape[0]
     src, dst = edge_index[0], edge_index[1]
     D = params["lin_query"]["w"].shape[0]
     C = D // heads
-    q = linear_apply(params["lin_query"], x[dst]).reshape(-1, heads, C)
-    k = linear_apply(params["lin_key"], x[src]).reshape(-1, heads, C)
-    alpha = jnp.sum(q * k, axis=-1) / math.sqrt(C)            # [E, H]
+    if score_backend == "sddmm" and edge_weights is None:
+        from raindrop_tpu.ops.sparse_pallas import sddmm
+
+        qn = linear_apply(params["lin_query"], x).reshape(n_nodes, heads, C)
+        kn = linear_apply(params["lin_key"], x).reshape(n_nodes, heads, C)
+        alpha = jnp.stack(
+            [sddmm(qn[None, :, h], kn[None, :, h], src, dst,
+                   scale=1.0 / math.sqrt(C))[0] for h in range(heads)],
+            axis=-1)                                          # [E, H]
+    else:
+        q = linear_apply(params["lin_query"], x[dst]).reshape(-1, heads, C)
+        k = linear_apply(params["lin_key"], x[src]).reshape(-1, heads, C)
+        alpha = jnp.sum(q * k, axis=-1) / math.sqrt(C)        # [E, H]
     if edge_weights is not None:
         alpha = jnp.broadcast_to(edge_weights[:, None], alpha.shape)
     alpha = segment_softmax(alpha, dst, n_nodes)

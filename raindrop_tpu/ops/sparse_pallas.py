@@ -196,19 +196,43 @@ def _sddmm_kernel(src_ref, dst_ref, q_ref, k_ref, alpha_ref, *,
     alpha_ref[0, 0, :] = jnp.sum(qe * ke, axis=-1) * scale
 
 
-@functools.partial(jax.jit, static_argnames=("scale",))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def sddmm(
     q: jnp.ndarray,            # [B, N, D] target-side features
     k: jnp.ndarray,            # [B, N, D] source-side features
     edge_src: jnp.ndarray,     # [E] int32
     edge_dst: jnp.ndarray,     # [E] int32
-    *,
     scale: float = 1.0,
 ):
     """Per-edge scaled dot products alpha[b, e] = scale * q[b, dst_e]·k[b, src_e]
-    — the attention-score half of TransformerConv (reference
-    code/transformer_conv.py:199) without materializing [E, D] gathers in HBM.
-    """
+    — the attention-score half of TransformerConv / graph self-attention
+    (reference code/transformer_conv.py:199, code/Ob_propagation.py:134-155)
+    without materializing [E, D] gathers in HBM. Differentiable: the VJP
+    scatter-adds d_alpha-weighted partner features back to the nodes
+    (XLA segment sums — the backward is bandwidth-trivial next to the
+    forward's one-hot MXU dots)."""
+    return _sddmm_call(q, k, edge_src, edge_dst, scale)
+
+
+def _sddmm_fwd(q, k, edge_src, edge_dst, scale):
+    alpha = _sddmm_call(q, k, edge_src, edge_dst, scale)
+    return alpha, (q, k, edge_src, edge_dst)
+
+
+def _sddmm_bwd(scale, res, d_alpha):
+    q, k, edge_src, edge_dst = res
+    N = q.shape[1]
+    w = (d_alpha * scale)[..., None]                       # [B, E, 1]
+    dq = jax.ops.segment_sum(
+        (w * k[:, edge_src].astype(jnp.float32)).swapaxes(0, 1),
+        edge_dst.astype(jnp.int32), num_segments=N).swapaxes(0, 1)
+    dk = jax.ops.segment_sum(
+        (w * q[:, edge_dst].astype(jnp.float32)).swapaxes(0, 1),
+        edge_src.astype(jnp.int32), num_segments=N).swapaxes(0, 1)
+    return dq.astype(q.dtype), dk.astype(k.dtype), None, None
+
+
+def _sddmm_call(q, k, edge_src, edge_dst, scale):
     B, N, D = q.shape
     E = edge_src.shape[0]
     kernel = functools.partial(_sddmm_kernel, n_nodes=N, n_edges=E,
@@ -231,3 +255,6 @@ def sddmm(
     )(edge_src.astype(jnp.int32).reshape(E, 1),
       edge_dst.astype(jnp.int32).reshape(E, 1), q, k)
     return alpha[:, 0, :]
+
+
+sddmm.defvjp(_sddmm_fwd, _sddmm_bwd)

@@ -155,6 +155,38 @@ def compiled_flops(jitted_fn, *args) -> Optional[float]:
         return None
 
 
+def flagship_kernel_flops(cfg, batch_size: int, *, train: bool) -> float:
+    """Analytic model FLOPs of the flagship model's Pallas-kernelized ops
+    per step (the fused encoder layer: qkv projection + attention core +
+    out-projection + FFN, ops/fused_encoder.py).
+
+    XLA's HloCostAnalysis reports custom calls as ZERO flops, so
+    `compiled_flops` excludes everything computed inside Pallas kernels —
+    through round 4 that silently excluded the attention core itself
+    (the PAM MFU numerator was missing ~108 GFLOP/step of real matmuls).
+    This returns the THEORETICAL matmul flops of the kernelized layer
+    (forward; backward credited at 2x forward; the flash-style backward
+    recompute is NOT credited — the standard MFU convention), to be ADDED
+    to the cost-analysis number when the fused regime is active. Zero in
+    the dense regime (T < 128 or huge T), where every op is visible to
+    the cost analysis.
+    """
+    import jax as _jax
+
+    from raindrop_tpu.ops.flash_attention import MAX_FUSED_T
+
+    T, d, f = cfg.max_len, cfg.d_transformer, cfg.ffn_dim
+    fused = (cfg.attention_backend in ("auto", "flash", "fused_layer")
+             and _jax.default_backend() == "tpu"
+             and T >= 128 and -(-T // 8) * 8 <= MAX_FUSED_T)
+    if not fused:
+        return 0.0
+    # per sample per layer: qkv 3*(2Td^2) + attention QK^T+PV (2T^2d each)
+    # + out-proj 2Td^2 + FFN 2*(2Tdf)
+    per_sample = 8 * T * d * d + 4 * T * T * d + 4 * T * d * f
+    return per_sample * (3.0 if train else 1.0) * batch_size * cfg.nlayers
+
+
 def mfu(flops_per_sec: Optional[float],
         peak_flops: float = V5E_PEAK_FLOPS) -> Optional[float]:
     """Model FLOPs utilization in [0, 1]: achieved model FLOP/s over the
