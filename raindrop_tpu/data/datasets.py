@@ -227,12 +227,17 @@ def synthetic_raw(
     *,
     T: Optional[int] = None,
     class_signal: float = 1.0,
+    positive_rate: float = 0.25,
 ):
     """Schema-identical synthetic data with a learnable class signal.
 
     Shapes follow the published dataset scales (SURVEY.md §6). Labels shift a
     random subset of sensor means so models can actually fit. Returns
     (Pdict_list, y) matching load_raw output conventions.
+
+    positive_rate: binary-class imbalance (default the P12-like 25%;
+    pass ~0.04 for the P19 regime, README.md:73 — the protocol's hardest
+    AUPRC setting).
     """
     from raindrop_tpu.config import DATASETS
 
@@ -244,7 +249,7 @@ def synthetic_raw(
 
     y = rng.integers(0, C, size=n)
     if C == 2:  # imbalanced like P12/P19
-        y = (rng.uniform(size=n) < 0.25).astype(np.int64)
+        y = (rng.uniform(size=n) < positive_rate).astype(np.int64)
     class_dirs = rng.normal(size=(C, F)) * class_signal
 
     obs_rate = 0.4 if dataset != "PAM" else 0.6
@@ -286,9 +291,11 @@ def synthetic_split(
     class_signal: float = 1.0,
     static_compat: bool = True,
     imputation: Optional[str] = None,
+    positive_rate: float = 0.25,
 ) -> Split:
     """An 8:1:1 synthetic split through the real normalization pipeline."""
-    P, y = synthetic_raw(dataset, n, seed, T=T, class_signal=class_signal)
+    P, y = synthetic_raw(dataset, n, seed, T=T, class_signal=class_signal,
+                         positive_rate=positive_rate)
     rng = np.random.default_rng(seed + 1)
     perm = rng.permutation(n)
     n_tr, n_va = round(n * 0.8), round(n * 0.1)

@@ -29,6 +29,11 @@ segment-op oracle to 2e-6 abs at P19 scale (B=128, N=34, E=1156, D=240),
 costing 1.64 ms vs 1.00 ms truncated — and vs 1.52 ms for the XLA segment
 path, which is why the XLA path (and the dense complete-graph formulation)
 stay the defaults at these sizes.
+
+Where these kernels WIN (measured, `bench.py --sparse-only`, round 5):
+actually-sparse batch-shared topologies — kNN graph N=128, k=6, B=128,
+fwd+bwd: fused SpMM 1.11x the vmapped XLA segment path, SDDMM 1.42x the
+XLA gathers (docs/PERFORMANCE.md "Sparse-topology crossover").
 """
 
 from __future__ import annotations
