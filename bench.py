@@ -49,7 +49,7 @@ def bench_train_step(dataset="P19", batch_size=128, iters=20, warmup=3,
                      compute_dtype=None, deadline=None,
                      measure=("scan", "eval", "dispatched"),
                      cfg_overrides=None, flops_accounting=True,
-                     progress_json=False):
+                     progress_json=False, microbatches=1):
     """deadline: optional time.time() timestamp — optional measurements
     (dispatched single-step, eval) are skipped once it passes, so one slow
     tunnel compile can't blow the whole bench run. measure: which regimes
@@ -95,16 +95,58 @@ def bench_train_step(dataset="P19", batch_size=128, iters=20, warmup=3,
     # apply_updates_masked)
     from raindrop_tpu.train.trainer import apply_updates_masked
 
+    def chunk_loss(p, Pc, tc, sc, yc, key):
+        src = Pc.transpose(1, 0, 2)
+        tm = tc.transpose(1, 0)
+        lengths = jnp.sum(tm > 0, axis=0)
+        logits, _ = raindrop_apply(p, cfg, src, sc, tm, lengths,
+                                   train=True, rng=key)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, yc).mean()
+
     def one_step(params, opt_state, key):
-        def loss_fn(p):
-            src = P.transpose(1, 0, 2)
-            tm = times.transpose(1, 0)
-            lengths = jnp.sum(tm > 0, axis=0)
-            logits, _ = raindrop_apply(p, cfg, src, static, tm, lengths,
-                                       train=True, rng=key)
-            return optax.softmax_cross_entropy_with_integer_labels(
-                logits, y).mean()
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        if microbatches <= 1:
+            loss, grads = jax.value_and_grad(chunk_loss)(
+                params, P, times, static, y, key)
+        else:
+            # gradient accumulation (TrainConfig.grad_microbatches): the
+            # full-batch update from VMEM-sized chunks — restores flat
+            # scaling past B~1024/chip (docs/PERFORMANCE.md round 5)
+            m = microbatches
+            C = B // m
+            def split(a):
+                return a.reshape((m, C) + a.shape[1:])
+            Pm, tmm, ym = split(P), split(times), split(y)
+            sm = None if static is None else split(static)
+
+            def prune(g):
+                return jax.tree.map(
+                    lambda mk, x: x if mk else jnp.zeros((), x.dtype),
+                    param_mask, g)
+
+            def body(carry, inp):
+                gacc, lacc = carry
+                if static is None:
+                    Pc, tc, yc, kc = inp
+                    sc = None
+                else:
+                    Pc, tc, yc, sc, kc = inp
+                l, g = jax.value_and_grad(chunk_loss)(
+                    params, Pc, tc, sc, yc, kc)
+                return (jax.tree.map(jnp.add, gacc, prune(g)),
+                        lacc + l), None
+
+            keys = jax.random.split(key, m)
+            g0 = prune(jax.tree.map(
+                lambda x: jnp.zeros(x.shape, jnp.float32), params))
+            xs = ((Pm, tmm, ym, keys) if static is None
+                  else (Pm, tmm, ym, sm, keys))
+            (gacc, lsum), _ = jax.lax.scan(body, (g0, jnp.float32(0)), xs)
+            grads = jax.tree.map(
+                lambda mk, g, x: ((g / m).astype(x.dtype)
+                                  if mk else jnp.zeros_like(x)),
+                param_mask, gacc, params)
+            loss = lsum / m
         updates, opt_state = opt.update(grads, opt_state)
         return (apply_updates_masked(params, updates, param_mask),
                 opt_state, loss)
@@ -499,6 +541,17 @@ if __name__ == "__main__":
                              progress_json=True)
         print(_extra_json(r))
         sys.exit(0)
+    if "--big2-only" in sys.argv:
+        # B=2048 with gradient accumulation (grad_microbatches=2): the
+        # large-batch falloff fix — plain B=2048 drops to ~137k samples/s
+        # (VMEM spill); two 1024-sample microbatches restore the B=1024
+        # rate while halving the activation working set
+        r = bench_train_step(batch_size=2048, compute_dtype="bfloat16",
+                             deadline=0, measure=("scan",), iters=10,
+                             microbatches=2, flops_accounting=False,
+                             progress_json=True)
+        print(json.dumps({"samples_per_sec": r["samples_per_sec"]}))
+        sys.exit(0)
     if "--dataset" in sys.argv:
         # per-dataset extras: PAM (T=600, 8-class, no static — exercises
         # the Pallas flash-attention path) and P12 (T=215, F=36 — the
@@ -607,6 +660,7 @@ if __name__ == "__main__":
     pam = run_extra(["--dataset", "PAM"], keys=flop_keys)
     p12 = run_extra(["--dataset", "P12"], keys=flop_keys)
     big = run_extra(["--big-only"], keys=flop_keys)
+    big2 = run_extra(["--big2-only"], keys=("samples_per_sec",))
     disp_ms = run_extra(["--dispatched-only"],
                         keys=("dispatched_step_ms",))["dispatched_step_ms"]
     beta = run_extra(["--use-beta-only"], keys=flop_keys)
@@ -640,6 +694,7 @@ if __name__ == "__main__":
         "dispatched_step_ms": rnd(disp_ms, 3),
         "bf16_b1024_samples_per_sec": rnd(big["samples_per_sec"]),
         "bf16_b1024_mfu": rnd(big["train_mfu"], 4),
+        "bf16_b2048_mb2_samples_per_sec": rnd(big2["samples_per_sec"]),
         "pam_train_samples_per_sec": rnd(pam["samples_per_sec"]),
         "pam_tflops": rnd(pam["train_tflops"], 2),
         "pam_mfu": rnd(pam["train_mfu"], 4),

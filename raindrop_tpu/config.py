@@ -181,6 +181,15 @@ class TrainConfig:
     context_parallel: str = "none"
     pipeline_microbatches: int = 0
     edge_partition: bool = False
+    # Gradient accumulation: split each batch into N microbatches inside
+    # the train step (lax.scan) and average the gradients before ONE Adam
+    # update — numerically the full-batch step (mean of chunk means), but
+    # the [T, B, .] activation working set shrinks N-fold. Past B~1024
+    # per chip the activations spill XLA's VMEM tiling and throughput
+    # falls off (measured: bf16 B=2048 drops 164k -> 137k samples/s);
+    # grad_microbatches=2 restores 163k at B=2048 and 164k at B=4096
+    # with 4 (docs/PERFORMANCE.md round-5).
+    grad_microbatches: int = 1
 
 
 # Per-dataset presets, reference code/Raindrop.py:109-148.

@@ -84,6 +84,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "'model' axis with N microbatches "
                         "(parallel/pipeline.py); needs model-parallel == "
                         "nlayers")
+    p.add_argument("--grad-microbatches", type=int, default=1,
+                   help="gradient accumulation: split each batch into N "
+                        "microbatches inside the train step (restores "
+                        "flat throughput scaling past B~1024/chip; "
+                        "numerically the full-batch step)")
     p.add_argument("--edge-partition", type=str2bool, default=False,
                    help="shard the propagation layer's edge set over the "
                         "'model' axis (parallel/edge_partition.py)")
@@ -267,7 +272,8 @@ def main(argv=None) -> int:
             diag_frozen_params=args.diag_frozen_params,
             context_parallel=args.context_parallel,
             pipeline_microbatches=args.pipeline_microbatches,
-            edge_partition=args.edge_partition)
+            edge_partition=args.edge_partition,
+            grad_microbatches=args.grad_microbatches)
 
         def make_split(k, _mr=mr, run=0):
             imput = (None if args.imputation == "no_imputation"

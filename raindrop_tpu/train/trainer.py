@@ -142,9 +142,64 @@ class Trainer:
                 ce = ce + self.tcfg.aux_loss_weight * jnp.sum(aux)
             return ce, (logits, aux)
 
+        n_micro = self.tcfg.grad_microbatches
+        if n_micro > 1 and self.tcfg.batch_size % n_micro:
+            raise ValueError(
+                f"batch_size {self.tcfg.batch_size} not divisible by "
+                f"grad_microbatches {n_micro}")
+
+        def microbatched_grads(params, batch, rng):
+            """Average gradients over n_micro chunks inside one lax.scan —
+            numerically the full-batch gradient (mean of chunk means),
+            but the [T, B/n, .] activation working set fits VMEM tiling
+            at large B (see TrainConfig.grad_microbatches). Dead (masked)
+            grads are carried as 0-d zeros so the accumulator never pays
+            HBM traffic for parameters torch-Adam would skip."""
+            def split(leaf):
+                return leaf.reshape((n_micro, leaf.shape[0] // n_micro)
+                                    + leaf.shape[1:])
+
+            mb = {k: split(v) for k, v in batch.items()}
+            rngs = jax.random.split(rng, n_micro)
+
+            def prune(g):
+                if mask is None:
+                    return g
+                return jax.tree.map(
+                    lambda m, x: x if m else jnp.zeros((), x.dtype),
+                    mask, g)
+
+            def body(carry, inp):
+                gacc, lacc = carry
+                chunk, r = inp
+                (l, (lg, _)), g = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, chunk, r)
+                return (jax.tree.map(jnp.add, gacc, prune(g)),
+                        lacc + l), lg
+
+            g0 = prune(jax.tree.map(
+                lambda x: jnp.zeros(jnp.shape(x),
+                                    jnp.result_type(x, jnp.float32)),
+                params))
+            (gacc, lsum), logits = jax.lax.scan(
+                body, (g0, jnp.float32(0.0)), (mb, rngs))
+            if mask is None:
+                grads = jax.tree.map(
+                    lambda g, x: (g / n_micro).astype(x.dtype), gacc, params)
+            else:
+                grads = jax.tree.map(
+                    lambda m, g, x: ((g / n_micro).astype(x.dtype)
+                                     if m else jnp.zeros_like(x)),
+                    mask, gacc, params)
+            return lsum / n_micro, logits.reshape(
+                (-1,) + logits.shape[2:]), grads
+
         def train_step(params, opt_state, batch, rng):
-            (loss, (logits, _)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, batch, rng)
+            if n_micro > 1:
+                loss, logits, grads = microbatched_grads(params, batch, rng)
+            else:
+                (loss, (logits, _)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, batch, rng)
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             params = apply_updates_masked(params, updates, mask)
             return params, opt_state, loss, logits
@@ -382,6 +437,13 @@ class Trainer:
             step_flops = compiled_flops(
                 self._train_step, params, opt_state, aval,
                 jax.random.PRNGKey(0))
+            if step_flops is not None:
+                # cost analysis reports Pallas custom calls as zero flops;
+                # credit the kernelized fused-layer matmuls analytically
+                # (utils/diagnostics.flagship_kernel_flops)
+                from raindrop_tpu.utils.diagnostics import (
+                    flagship_kernel_flops)
+                step_flops += flagship_kernel_flops(cfg, Bsz, train=True)
         epoch_steps = n_batches
 
         # Single-device fast path: keep the split resident on device and run

@@ -193,3 +193,42 @@ def test_measure_mfu_epoch_records():
     for rec in res.history:
         assert rec["train_tflops_per_sec"] > 0
         assert 0 < rec["mfu"] < 1
+
+
+def test_grad_microbatches_step_matches_full_batch():
+    """grad_microbatches=N averages chunk gradients inside the step —
+    numerically the full-batch update (mean of chunk means), to fp
+    reduction tolerance. Dropout 0: the chunked rng stream legitimately
+    differs from the full-batch one."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+    from raindrop_tpu.config import TrainConfig, dataset_config
+    from raindrop_tpu.data import synthetic_split
+
+    cfg = dataset_config("P19", max_len=8, dropout=0.0)
+    split = synthetic_split("P19", n=64, seed=0, T=8)
+    tcfg = TrainConfig(dataset="P19", batch_size=16, num_epochs=1,
+                       batching_strategy=2)
+    idx = np.arange(16)
+
+    def one_step(tc):
+        tr = Trainer(cfg, tc)
+        params = tr._init(jax.random.PRNGKey(0))
+        opt_state = tr.optimizer.init(params)
+        batch = tr._device_batch(split.Ptrain[idx], split.Ptrain_time[idx],
+                                 split.Ptrain_static[idx], split.ytrain[idx])
+        params, _, loss, logits = tr._train_step(
+            params, opt_state, batch, jax.random.PRNGKey(1))
+        return float(loss), np.asarray(logits), jax.device_get(params)
+
+    l1, lg1, p1 = one_step(tcfg)
+    l4, lg4, p4 = one_step(dataclasses.replace(tcfg, grad_microbatches=4))
+    assert np.isclose(l4, l1, rtol=1e-5)
+    np.testing.assert_allclose(lg4, lg1, rtol=1e-4, atol=1e-5)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(p4),
+            jax.tree_util.tree_leaves_with_path(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5, err_msg=str(path))
