@@ -30,10 +30,13 @@ costing 1.64 ms vs 1.00 ms truncated — and vs 1.52 ms for the XLA segment
 path, which is why the XLA path (and the dense complete-graph formulation)
 stay the defaults at these sizes.
 
-Where these kernels WIN (measured, `bench.py --sparse-only`, round 5):
-actually-sparse batch-shared topologies — kNN graph N=128, k=6, B=128,
-fwd+bwd: fused SpMM 1.11x the vmapped XLA segment path, SDDMM 1.42x the
-XLA gathers (docs/PERFORMANCE.md "Sparse-topology crossover").
+Where the fused SpMM WINS (measured, `bench.py --sparse-only`, round 5,
+steady over repeated uncontended runs): actually-sparse batch-shared
+topologies — kNN graph N=128, k=6, B=128, fwd+bwd: 1.15x the vmapped XLA
+segment path. The SDDMM kernel, measured honestly, does NOT win at any
+tested dims (dispatch-bound small, VMEM-limited large) and is kept as a
+differentiable reference implementation with an opt-in product caller
+(docs/PERFORMANCE.md "Sparse-topology crossover").
 """
 
 from __future__ import annotations
