@@ -176,14 +176,19 @@ def flagship_kernel_flops(cfg, batch_size: int, *, train: bool) -> float:
     from raindrop_tpu.ops.flash_attention import MAX_FUSED_T
 
     T, d, f = cfg.max_len, cfg.d_transformer, cfg.ffn_dim
-    fused = (cfg.attention_backend in ("auto", "flash", "fused_layer")
-             and _jax.default_backend() == "tpu"
-             and T >= 128 and -(-T // 8) * 8 <= MAX_FUSED_T)
-    if not fused:
+    if (_jax.default_backend() != "tpu" or T < 128
+            or -(-T // 8) * 8 > MAX_FUSED_T
+            or cfg.attention_backend not in ("auto", "flash",
+                                             "fused_layer")):
         return 0.0
-    # per sample per layer: qkv 3*(2Td^2) + attention QK^T+PV (2T^2d each)
-    # + out-proj 2Td^2 + FFN 2*(2Tdf)
-    per_sample = 8 * T * d * d + 4 * T * T * d + 4 * T * d * f
+    attn = 4 * T * T * d                 # QK^T + PV over all heads
+    # the auto ladder (nn/transformer.py): fused layer at T >= 384 hides
+    # qkv/out-proj/FFN from the cost analysis too; the flash-attention
+    # regime (128 <= T < 384) hides only the attention core
+    layer_fused = (cfg.attention_backend == "fused_layer"
+                   or (cfg.attention_backend == "auto" and T >= 384))
+    per_sample = (attn + 8 * T * d * d + 4 * T * d * f if layer_fused
+                  else attn)
     return per_sample * (3.0 if train else 1.0) * batch_size * cfg.nlayers
 
 
