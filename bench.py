@@ -111,7 +111,10 @@ def bench_train_step(dataset="P19", batch_size=128, iters=20, warmup=3,
         else:
             # gradient accumulation (TrainConfig.grad_microbatches): the
             # full-batch update from VMEM-sized chunks — restores flat
-            # scaling past B~1024/chip (docs/PERFORMANCE.md round 5)
+            # scaling past B~1024/chip (docs/PERFORMANCE.md round 5).
+            # NOTE: mirrors train/trainer.py microbatched_grads (which
+            # also stacks per-chunk logits for metrics) — keep the two in
+            # step if the masking/averaging math changes
             m = microbatches
             C = B // m
             def split(a):

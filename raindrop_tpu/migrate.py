@@ -154,7 +154,8 @@ def import_grud(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
 
 # -- mTAND ------------------------------------------------------------------
 
-def import_mtand(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+def import_mtand(sd: Dict[str, np.ndarray],
+                 n_ref: int = 128) -> Dict[str, np.ndarray]:
     """Reference ``models.enc_mtan_classif`` (code/baselines/mTAND/
     models.py:54-100) -> baselines/mtand.py params. The attention's
     ``linears`` ModuleList order is (query, key, out); the GRU encoder is
@@ -182,7 +183,7 @@ def import_mtand(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     query = next((sd[k] for k in ("query", "att.query") if k in sd), None)
     params["query_points"] = (
         np.asarray(query, np.float32).reshape(-1) if query is not None
-        else np.linspace(0.0, 1.0, 128, dtype=np.float32))
+        else np.linspace(0.0, 1.0, n_ref, dtype=np.float32))
     return params
 
 
@@ -268,9 +269,10 @@ _IMPORTERS = {
 }
 
 
-def import_params(model: str, path: str):
+def import_params(model: str, path: str, **kw):
     """One-call import: load the torch artifact at ``path`` and convert it
-    for ``model`` in {'raindrop', 'grud', 'mtand', 'encoder_layer'}."""
+    for ``model`` in {'raindrop', 'grud', 'mtand', 'encoder_layer'}.
+    Extra keyword args reach the model importer (e.g. mtand's n_ref)."""
     if model not in _IMPORTERS:
         raise ValueError(f"unknown model {model!r}; "
                          f"choose from {sorted(_IMPORTERS)}")
@@ -280,7 +282,7 @@ def import_params(model: str, path: str):
         prefix = ("encoder_layer."
                   if any(k.startswith("encoder_layer.") for k in sd) else "")
         return import_encoder_layer(sd, prefix)
-    return _IMPORTERS[model](sd)
+    return _IMPORTERS[model](sd, **kw)
 
 
 def main(argv=None):
@@ -295,13 +297,17 @@ def main(argv=None):
     ap.add_argument("--torch", required=True, dest="torch_path",
                     help="reference .pt artifact (state dict, wrapper "
                          "dict, or full-module pickle)")
+    ap.add_argument("--mtand-n-ref", type=int, default=128,
+                    help="mTAND reference-point count for bare state-dict "
+                         "artifacts that do not carry the query tensor")
     ap.add_argument("--out", required=True,
                     help="output checkpoint base path (writes <out>.npz, "
                          "loadable by train/checkpoint.load_checkpoint and "
                          "serve.py --checkpoint)")
     args = ap.parse_args(argv)
 
-    params = import_params(args.model, args.torch_path)
+    kw = ({"n_ref": args.mtand_n_ref} if args.model == "mtand" else {})
+    params = import_params(args.model, args.torch_path, **kw)
     from raindrop_tpu.train.checkpoint import save_checkpoint
     out = args.out[:-4] if args.out.endswith(".npz") else args.out
     save_checkpoint(out, params,

@@ -222,8 +222,8 @@ def raindrop_apply(
         n_model = mesh.shape["model"]
         if ei.shape[1] % n_model:
             raise ValueError(
-                f"edge count {ei.shape[1]} must divide the mesh 'model' "
-                f"axis size {n_model} for edge partitioning")
+                f"the mesh 'model' axis size {n_model} must divide the "
+                f"edge count {ei.shape[1]} for edge partitioning")
         gamma = jnp.broadcast_to(
             edge_weights[None].astype(jnp.float32), (B, ei.shape[1]))
         v1 = jax.nn.relu(linear_apply(params["ob_propagation"]["lin_value"],

@@ -168,8 +168,8 @@ def transformer_encoder_layer_apply(
     Factored out of the encoder loop so pipeline parallelism
     (parallel/pipeline.py) can run each layer as a pipeline stage.
 
-    backend 'fused_layer' (and 'auto' on TPU in the flash regime,
-    128 <= T <= MAX_FUSED_T) runs the ENTIRE layer as one Pallas program
+    backend 'fused_layer' (and 'auto' on TPU at T >= 384, within the
+    fused-VMEM regime) runs the ENTIRE layer as one Pallas program
     per sample (ops/fused_encoder.py) — qkv projection, attention,
     out-proj, residual dropouts, both LayerNorms and the FFN never leave
     VMEM. Same math as this function's unfused path (tested); dropout

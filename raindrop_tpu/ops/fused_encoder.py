@@ -23,9 +23,11 @@ forward by construction), and ACCUMULATES weight gradients across the
 sequential batch grid into shared output blocks (@pl.when(b == 0)
 initialization — TPU grids execute programs in order on one core).
 
-Selected by nn/transformer.py when the flash regime would be chosen
-(auto, TPU, 128 <= T <= MAX_FUSED_T); parity vs the unfused layer is
-asserted in tests/test_fused_encoder.py (values and gradients).
+Selected by nn/transformer.py's measured auto ladder at T >= 384 on TPU
+(the attention-only packed flash kernel wins 128 <= T < 384, dense below;
+`backend='fused_layer'` forces it at any fused-VMEM T); parity vs the
+unfused layer is asserted in tests/test_fused_encoder.py (values and
+gradients).
 """
 
 from __future__ import annotations
@@ -98,13 +100,9 @@ def _attn_keeps(seed_ref, b, nhead, t, rate, hw_prng):
 
 
 def _attention(q, k, v, bias, length, seed_ref, b, *, scale2, nhead, t, d,
-               rate, hw_prng, od, lse_out=None, lse_in=None):
-    """Packed-heads attention in base-2; returns (attn [t, d], lses).
-
-    With lse_in (bwd recompute) the per-head probabilities are
-    renormalized from the SAVED statistics instead of fresh max/sum —
-    bitwise the forward's p, one reduction pass cheaper.
-    """
+               rate, hw_prng, od):
+    """Packed-heads attention in base-2; returns (attn [t, d], lses [t]
+    per head, base-2 units — consumed by _bwd_kernel's recompute)."""
     hd = d // nhead
     valid = length > 0
     attn = jnp.zeros((t, d), jnp.float32)
@@ -116,23 +114,17 @@ def _attention(q, k, v, bias, length, seed_ref, b, *, scale2, nhead, t, d,
         s = jax.lax.dot_general(q, k * m_h, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale2
         s = s + bias
-        if lse_in is None:
-            mx = jnp.max(s, axis=1, keepdims=True)
-            p = jnp.exp2(s - mx)
-            l = jnp.sum(p, axis=1, keepdims=True)
-            lse = jnp.where(valid, mx[:, 0] + jnp.log2(l[:, 0]), NEG_INF)
-            inv = 1.0 / l          # normalize the [t, d] PV OUTPUT, not
-        else:                      # the [t, t] probability grid
-            lse = lse_in[h]
-            p = jnp.exp2(s - lse[:, None])
-            inv = None
-        lses.append(lse)
+        mx = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp2(s - mx)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        lses.append(jnp.where(valid, mx[:, 0] + jnp.log2(l[:, 0]), NEG_INF))
         if rate > 0.0:
             p = p * keeps[h] / (1.0 - rate)
         pv = jax.lax.dot_general(
             p.astype(od), v * m_h, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        attn = attn + (pv if inv is None else pv * inv)
+        # normalize the [t, d] PV OUTPUT, not the [t, t] probability grid
+        attn = attn + pv / l
     return jnp.where(valid, attn, 0.0), lses
 
 

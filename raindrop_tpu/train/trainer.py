@@ -83,6 +83,7 @@ class Trainer:
         self.mesh = mesh
         # pluggable model (baselines reuse this trainer with their own fns)
         is_default_model = apply_fn is None
+        self._is_default_model = is_default_model
         scale_out = (tcfg.context_parallel != "none"
                      or tcfg.pipeline_microbatches > 0 or tcfg.edge_partition)
         if scale_out and mesh is None:
@@ -143,10 +144,6 @@ class Trainer:
             return ce, (logits, aux)
 
         n_micro = self.tcfg.grad_microbatches
-        if n_micro > 1 and self.tcfg.batch_size % n_micro:
-            raise ValueError(
-                f"batch_size {self.tcfg.batch_size} not divisible by "
-                f"grad_microbatches {n_micro}")
 
         def microbatched_grads(params, batch, rng):
             """Average gradients over n_micro chunks inside one lax.scan —
@@ -154,8 +151,19 @@ class Trainer:
             but the [T, B/n, .] activation working set fits VMEM tiling
             at large B (see TrainConfig.grad_microbatches). Dead (masked)
             grads are carried as 0-d zeros so the accumulator never pays
-            HBM traffic for parameters torch-Adam would skip."""
+            HBM traffic for parameters torch-Adam would skip.
+            bench.py's microbatches branch mirrors this math (without the
+            logits stacking) — keep the two in step."""
             def split(leaf):
+                # validate against the ACTUAL batch rows: strategy-2
+                # balanced batches hold 2*(batch_size//2) samples, not
+                # batch_size (data/sampler.py), so checking the config
+                # value would pass and then fail inside the reshape
+                if leaf.shape[0] % n_micro:
+                    raise ValueError(
+                        f"batch of {leaf.shape[0]} rows not divisible by "
+                        f"grad_microbatches={n_micro} (strategy-2 batches "
+                        f"hold 2*(batch_size//2) samples)")
                 return leaf.reshape((n_micro, leaf.shape[0] // n_micro)
                                     + leaf.shape[1:])
 
@@ -437,10 +445,15 @@ class Trainer:
             step_flops = compiled_flops(
                 self._train_step, params, opt_state, aval,
                 jax.random.PRNGKey(0))
-            if step_flops is not None:
+            if (step_flops is not None and self._is_default_model
+                    and tcfg.context_parallel == "none"
+                    and tcfg.pipeline_microbatches == 0):
                 # cost analysis reports Pallas custom calls as zero flops;
-                # credit the kernelized fused-layer matmuls analytically
-                # (utils/diagnostics.flagship_kernel_flops)
+                # credit the kernelized flash/fused-layer matmuls
+                # analytically — ONLY when the flagship model actually
+                # launches them (baselines have no temporal transformer;
+                # the cp/pipeline routes run attention as XLA einsums that
+                # the cost analysis already counts)
                 from raindrop_tpu.utils.diagnostics import (
                     flagship_kernel_flops)
                 step_flops += flagship_kernel_flops(cfg, Bsz, train=True)

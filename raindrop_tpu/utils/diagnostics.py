@@ -176,17 +176,26 @@ def flagship_kernel_flops(cfg, batch_size: int, *, train: bool) -> float:
     from raindrop_tpu.ops.flash_attention import MAX_FUSED_T
 
     T, d, f = cfg.max_len, cfg.d_transformer, cfg.ffn_dim
-    if (_jax.default_backend() != "tpu" or T < 128
-            or -(-T // 8) * 8 > MAX_FUSED_T
-            or cfg.attention_backend not in ("auto", "flash",
-                                             "fused_layer")):
+    backend = cfg.attention_backend
+    if (_jax.default_backend() != "tpu"
+            or backend not in ("auto", "flash", "fused_layer")):
+        return 0.0
+    t8 = -(-T // 8) * 8
+    # mirror nn/transformer.py's ladder exactly:
+    #   fused layer (qkv+attn+out-proj+FFN hidden): explicit, or auto at
+    #     T >= 384, both only within the fused-VMEM regime;
+    #   flash attention (only the attention core hidden): explicit
+    #     'flash' at any T, or auto at 128 <= T < 384, or auto T >= 384
+    #     beyond the fused regime (streaming flash kernel);
+    #   dense (everything visible to cost analysis): auto below T=128.
+    layer_fused = ((backend == "fused_layer"
+                    or (backend == "auto" and T >= 384))
+                   and t8 <= MAX_FUSED_T)
+    flash_attn = (backend == "flash"
+                  or (backend == "auto" and T >= 128 and not layer_fused))
+    if not (layer_fused or flash_attn):
         return 0.0
     attn = 4 * T * T * d                 # QK^T + PV over all heads
-    # the auto ladder (nn/transformer.py): fused layer at T >= 384 hides
-    # qkv/out-proj/FFN from the cost analysis too; the flash-attention
-    # regime (128 <= T < 384) hides only the attention core
-    layer_fused = (cfg.attention_backend == "fused_layer"
-                   or (cfg.attention_backend == "auto" and T >= 384))
     per_sample = (attn + 8 * T * d * d + 4 * T * d * f if layer_fused
                   else attn)
     return per_sample * (3.0 if train else 1.0) * batch_size * cfg.nlayers

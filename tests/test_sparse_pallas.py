@@ -130,3 +130,48 @@ def test_model_pallas_backend_matches_coo_at_p19_dims(rng_np):
                                  global_adj=adj)
         np.testing.assert_allclose(np.asarray(lo_p), np.asarray(lo_c),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_selfattention_sddmm_backend_matches_xla():
+    """ob_propagate_selfattention(score_backend='sddmm') must equal the
+    XLA gather path — values and gradients (the product dispatch for the
+    SDDMM kernel; round-5 review found it shipped uncovered)."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from raindrop_tpu.graph.propagate import (
+        ob_propagate_selfattention, ob_propagation_init)
+
+    rng = np.random.default_rng(0)
+    N, D, H = 10, 24, 2
+    E = 30
+    src = rng.integers(0, N, size=E).astype(np.int32)
+    dst = np.sort(rng.integers(0, N, size=E)).astype(np.int32)
+    ei = jnp.asarray(np.stack([src, dst]))
+    params = ob_propagation_init(jax.random.PRNGKey(0), D, D, N, 3,
+                                 heads=H)
+    x = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+
+    def run(backend):
+        out, (_, alpha) = ob_propagate_selfattention(
+            params, x, ei, heads=H, n_nodes=N, score_backend=backend)
+        return out, alpha
+
+    out_x, alpha_x = run("xla")
+    out_s, alpha_s = run("sddmm")
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_x),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(alpha_s), np.asarray(alpha_x),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(x, backend):
+        return jnp.sum(ob_propagate_selfattention(
+            params, x, ei, heads=H, n_nodes=N,
+            score_backend=backend)[0] ** 2)
+
+    gx = jax.grad(loss)(x, "xla")
+    gs = jax.grad(loss)(x, "sddmm")
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gx),
+                               rtol=1e-4, atol=1e-5)
