@@ -178,8 +178,10 @@ def transformer_encoder_layer_apply(
     r = rngs if rngs is not None else [None] * 4
     B, T, d = x.shape
     from raindrop_tpu.ops.flash_attention import MAX_FUSED_T
-    # auto ladder, measured on v5e (round 5): dense wins T=60; the packed
-    # flash attention kernel wins 128 <= T < 384 (P12 T=215: 40.7k vs the
+    # auto ladder, measured on v5e (round 5) from all three sides:
+    # dense wins T=60 (150.0k vs the fused layer's 90.7k — at tiny T the
+    # per-sample grid's fixed costs dwarf the compute); the packed flash
+    # attention kernel wins 128 <= T < 384 (P12 T=215: 40.7k vs the
     # fused layer's 39.4k samples/s); the fully-fused layer wins at long T
     # (PAM T=600: 20.4k vs 17.2k) where the per-op XLA pipeline's HBM
     # round-trips dominate. 'fused_layer' forces the fused kernel at any
